@@ -1,0 +1,202 @@
+"""Typed configuration for the whole framework.
+
+The reference scatters configuration across module-level globals mutated inside
+``setup()`` (reference ``example_scripts/Multimodal_example_task2C.py:51-84``),
+argparse CLIs (``baselines/subtask_2a.py:120-127``) and ``sys.argv`` fold
+indices (``textmodel_example_task2A.py:186-192``).  Here a single frozen
+dataclass tree covers subtask, encoders, fusion, loss, schedule and mesh so
+every entry point shares one config surface (SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Tuple
+
+
+class Subtask(str, enum.Enum):
+    A = "2A"  # text-only
+    B = "2B"  # image-only
+    C = "2C"  # multimodal
+
+
+class PoolingType(str, enum.Enum):
+    """Six pooling strategies of the reference text head.
+
+    Reference: ``Multimodal_example_task2C.py:338-392`` (cls / nopooling / max /
+    mean / attention / cnn).
+    """
+
+    CLS = "cls"
+    NOPOOLING = "nopooling"
+    MAX = "max"
+    MEAN = "mean"
+    ATTENTION = "attention"
+    CNN = "cnn"
+
+
+class FusionMethod(str, enum.Enum):
+    """Four fusion mechanisms (reference ``Multimodal_example_task2C.py:617-630``)."""
+
+    CONCATENATION = "concatenation"  # ConcatAttention / ConcatAttention3
+    MCA = "mca"                      # additive (Bahdanau-style) attention
+    CROSS_MODAL = "cross_modal"      # bidirectional MHA
+    SELF_ATTENTION = "self_attention"  # stacked-token MHA
+
+
+class LossType(str, enum.Enum):
+    FOCAL = "focal"           # sigmoid focal loss (2C: alpha=.25 gamma=2)
+    CROSS_ENTROPY = "ce"      # 2-class CE (2A path)
+
+
+@dataclasses.dataclass(frozen=True)
+class TextEncoderConfig:
+    """BERT-family encoder hyperparameters (AraBERT/QARiB/RoBERTa compatible)."""
+
+    vocab_size: int = 64000           # aubmindlab/bert-base-arabertv2
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    pad_token_id: int = 0
+    # RoBERTa-style position offset: positions start at pad_token_id+1.
+    roberta_style_positions: bool = False
+
+    @staticmethod
+    def arabertv2() -> "TextEncoderConfig":
+        return TextEncoderConfig(vocab_size=64000)
+
+    @staticmethod
+    def qarib() -> "TextEncoderConfig":
+        return TextEncoderConfig(vocab_size=64000)
+
+    @staticmethod
+    def roberta_base() -> "TextEncoderConfig":
+        return TextEncoderConfig(
+            vocab_size=50265, max_position_embeddings=514,
+            type_vocab_size=1, pad_token_id=1, roberta_style_positions=True,
+            layer_norm_eps=1e-5,
+        )
+
+    @staticmethod
+    def distilbert_multilingual() -> "TextEncoderConfig":
+        # distilbert-base-multilingual-cased (reference DistilBERT_example_task2A.py:87)
+        return TextEncoderConfig(vocab_size=119547, num_layers=6)
+
+    @staticmethod
+    def tiny(vocab_size: int = 512) -> "TextEncoderConfig":
+        """Small config for tests/smoke runs."""
+        return TextEncoderConfig(
+            vocab_size=vocab_size, hidden_size=64, num_layers=2, num_heads=4,
+            intermediate_size=128, max_position_embeddings=128,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class ImageEncoderConfig:
+    """Image backbone selection (reference timm zoo, ``Untitled-2.py:362-371``)."""
+
+    arch: str = "resnet18"            # resnet18|resnet50|vit_base_16|convnext_tiny|tiny_resnet
+    image_size: int = 224
+    feature_dim: int = 512            # backbone output feature dim
+    finetune_dim: int = 512           # MLP head width (CustomDenseNet161 head, :571-575)
+    finetune_dropout: float = 0.35
+    patch_size: int = 16              # ViT only
+    grayscale: bool = False           # ResNet_example_task2B.py:156 variant
+
+    @staticmethod
+    def tiny() -> "ImageEncoderConfig":
+        # From-scratch tiny ResNet in the HF-Trainer 2B example
+        # (reference ResNet_example_task2B.py:146-152: depths [2,2], widths [32,64]).
+        return ImageEncoderConfig(arch="tiny_resnet", image_size=64, feature_dim=64,
+                                  finetune_dim=64)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    subtask: Subtask = Subtask.C
+    text: TextEncoderConfig = dataclasses.field(default_factory=TextEncoderConfig)
+    caption: Optional[TextEncoderConfig] = dataclasses.field(
+        default_factory=TextEncoderConfig.roberta_base)
+    image: Optional[ImageEncoderConfig] = dataclasses.field(
+        default_factory=ImageEncoderConfig)
+    pooling: PoolingType = PoolingType.CLS
+    fusion: FusionMethod = FusionMethod.CONCATENATION
+    proj_dim: int = 512               # per-modality FC projection width (:596-600)
+    dropout: float = 0.3              # per-modality dropout (:592)
+    num_classes: int = 1              # 1 = single-logit sigmoid path (2C); 2 = CE path (2A)
+    max_text_len: int = 512
+    max_caption_len: int = 512
+
+    @staticmethod
+    def tiny_2c() -> "ModelConfig":
+        return ModelConfig(
+            subtask=Subtask.C,
+            text=TextEncoderConfig.tiny(),
+            caption=TextEncoderConfig.tiny(),
+            image=ImageEncoderConfig.tiny(),
+            proj_dim=64, max_text_len=32, max_caption_len=16,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    train_manifest: str = "data/arabic_memes_propaganda_araieval_24_train.json"
+    dev_manifest: str = "data/arabic_memes_propaganda_araieval_24_dev.json"
+    test_manifest: Optional[str] = None
+    image_root: str = "."
+    batch_size: int = 16              # reference :154-162
+    eval_batch_size: int = 16
+    num_folds: int = 5                # 2C: 5 folds over train (seed 42)
+    fold_seed: int = 42
+    fold_over_train_plus_dev: bool = False  # 2A: 10-fold over train+dev (:221-230)
+    normalize_arabic: bool = True
+    cache_dir: str = ".cache"         # caption + tokenization cache (unlike reference)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh for SPMD execution.
+
+    Axis naming keeps a ("dcn", "ici") factoring possible (SURVEY.md §2.3) even
+    though a single host only exercises ICI.  ``data`` shards the batch (DP);
+    ``fold`` optionally trains k folds simultaneously with stacked weights.
+    """
+
+    data_axis: str = "data"
+    fold_axis: str = "fold"
+    num_fold_shards: int = 1          # >1 enables fold-parallel training
+
+    def axis_names(self) -> Tuple[str, ...]:
+        if self.num_fold_shards > 1:
+            return (self.fold_axis, self.data_axis)
+        return (self.data_axis,)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    loss: LossType = LossType.FOCAL
+    focal_alpha: float = 0.25         # reference :711
+    focal_gamma: float = 2.0
+    learning_rate: float = 1e-5       # 2C Adam lr (:168)
+    encoder_lr_scale: float = 0.8     # text/image groups at 0.8*lr (:645-664)
+    warmup_fraction: float = 0.1      # linear warmup over 10% of steps (:170-174)
+    grad_clip_norm: float = 1.0       # bf16 path clip (reference fp16 clip=1.0 :714)
+    epochs: int = 8                   # 2C (:177); 2A uses 20
+    seed: int = 42
+    eval_per_epoch: int = 2           # mid-epoch eval twice/epoch (:697,755)
+    bf16: bool = True                 # replaces torch AMP fp16 + GradScaler
+    use_class_weights: bool = False   # reference computes but never uses them (:137-139)
+    run_id: str = "mpmc_tpu"
+    team_name: str = "kevinmathew"
+    checkpoint_dir: Optional[str] = None
+    resume: bool = False

@@ -1,0 +1,22 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated without TPU hardware by forcing the host
+platform to expose 8 XLA CPU devices (SURVEY.md §2.3).  Env vars must be set
+before jax initializes its backends, hence this module-level block.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
