@@ -1,0 +1,110 @@
+"""Device-side image augmentation + normalization (reference C15 transforms).
+
+The reference runs torchvision transforms per sample on the host CPU every
+epoch (``Multimodal_example_task2C.py:222-235``: Resize(224²) → HFlip →
+ColorJitter(0.1) → Rotation(15°) → ToTensor → ImageNet-Normalize).  Here the
+host only decodes/resizes to uint8; everything photometric/geometric runs
+batched on the TPU inside the jitted step:
+
+* ``train_augment(key, u8)`` — random horizontal flip (p=.5), brightness
+  jitter ×U[0.9, 1.1], rotation U[-15°, 15°] (bilinear, zero fill), then
+  u8→f32 ImageNet normalization — one fused XLA program, with the
+  normalize+flip+brightness core available as a Pallas kernel
+  (``mpmc_tpu.ops.image_ops``).
+* ``eval_preprocess(u8)`` — normalization only (plus optional center-crop
+  from a larger decode, the C28/C25 Resize(256)/CenterCrop(224) variant).
+
+Divergence noted: the reference applies its *augmenting* transform to eval
+splits too (same Dataset class for train/val/test); we default to
+deterministic eval preprocessing and expose ``train_augment`` for callers who
+want bug-compatible behavior.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+# grayscale variant (reference ResNet_example_task2B.py:163-166)
+GRAY_MEAN, GRAY_STD = (0.45,), (0.22,)
+
+
+def normalize(x: jax.Array, mean=IMAGENET_MEAN, std=IMAGENET_STD) -> jax.Array:
+    """uint8 [B,H,W,C] → normalized f32."""
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    return (x.astype(jnp.float32) / 255.0 - mean) / std
+
+
+def _rotate_bilinear(img: jax.Array, angle: jax.Array) -> jax.Array:
+    """Rotate one [H,W,C] f32 image by ``angle`` radians around its center,
+    bilinear sampling, zeros outside (torchvision RandomRotation default)."""
+    H, W = img.shape[0], img.shape[1]
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    # inverse mapping: output pixel ← input coordinate
+    sy = cy + (yy - cy) * cos - (xx - cx) * sin
+    sx = cx + (yy - cy) * sin + (xx - cx) * cos
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy = sy - y0
+    wx = sx - x0
+
+    def gather(yi, xi):
+        valid = ((yi >= 0) & (yi < H) & (xi >= 0) & (xi < W))
+        yi = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        xi = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        vals = img[yi, xi]
+        return jnp.where(valid[..., None], vals, 0.0)
+
+    top = gather(y0, x0) * (1 - wx)[..., None] + gather(y0, x0 + 1) * wx[..., None]
+    bot = gather(y0 + 1, x0) * (1 - wx)[..., None] + gather(y0 + 1, x0 + 1) * wx[..., None]
+    return top * (1 - wy)[..., None] + bot * wy[..., None]
+
+
+@functools.partial(jax.jit, static_argnames=("max_rotate_deg", "use_pallas"))
+def train_augment(key: jax.Array, images_u8: jax.Array,
+                  max_rotate_deg: float = 15.0,
+                  use_pallas: bool = False) -> jax.Array:
+    """Random flip + brightness + rotation + normalize, batched on device."""
+    B = images_u8.shape[0]
+    k_flip, k_bright, k_rot = jax.random.split(key, 3)
+    flip = jax.random.bernoulli(k_flip, 0.5, (B,))
+    bright = jax.random.uniform(k_bright, (B,), minval=0.9, maxval=1.1)
+    angle = jax.random.uniform(
+        k_rot, (B,), minval=-max_rotate_deg, maxval=max_rotate_deg
+    ) * (jnp.pi / 180.0)
+
+    if use_pallas:
+        from mpmc_tpu.ops.image_ops import fused_normalize_flip_brightness
+        x = fused_normalize_flip_brightness(images_u8, flip, bright)
+    else:
+        x = images_u8.astype(jnp.float32) / 255.0
+        x = jnp.where(flip[:, None, None, None],
+                      jnp.flip(x, axis=2), x)
+        x = jnp.clip(x * bright[:, None, None, None], 0.0, 1.0)
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        x = (x - mean) / std
+    return jax.vmap(_rotate_bilinear)(x, angle)
+
+
+@functools.partial(jax.jit, static_argnames=("crop", "grayscale"))
+def eval_preprocess(images_u8: jax.Array, crop: Optional[int] = None,
+                    grayscale: bool = False) -> jax.Array:
+    """Deterministic eval path: optional center crop + normalize."""
+    x = images_u8
+    if crop is not None:
+        H, W = x.shape[1], x.shape[2]
+        top, left = (H - crop) // 2, (W - crop) // 2
+        x = x[:, top:top + crop, left:left + crop]
+    if grayscale:
+        return normalize(x, GRAY_MEAN, GRAY_STD)
+    return normalize(x)

@@ -1,0 +1,111 @@
+"""BERT-family text encoder in flax.linen — AraBERT/QARiB/RoBERTa compatible.
+
+TPU-first re-design of the reference's HF ``AutoModel`` backbones
+(``Multimodal_example_task2C.py:317``): post-LayerNorm transformer encoder
+with learned absolute positions, attention running through the Pallas kernel
+(``mpmc_tpu.ops.attention``), weights convertible 1:1 from HF torch
+checkpoints (``mpmc_tpu.models.hf_convert``).  All shapes are static; the
+whole forward jits into a single XLA program with bf16 matmuls under the
+train step's precision policy.
+
+Covers the reference's text-model zoo (``textmodel_example_task2A.py:41-44``):
+any BERT-architecture checkpoint (AraBERT v2/v02, QARiB, MARBERT, CAMeLBERT,
+mBERT, bert-mini) via TextEncoderConfig dims; RoBERTa via
+``roberta_style_positions``; DistilBERT via ``num_layers=6`` (DistilBERT's
+missing token-type/pooler are handled in conversion).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mpmc_tpu.config import TextEncoderConfig
+from mpmc_tpu.ops.attention import dot_product_attention
+
+
+class MultiHeadSelfAttention(nn.Module):
+    cfg: TextEncoderConfig
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool):
+        c = self.cfg
+        head_dim = c.hidden_size // c.num_heads
+        dense = lambda name: nn.DenseGeneral(  # noqa: E731
+            features=(c.num_heads, head_dim), axis=-1, name=name)
+        q = dense("query")(x)
+        k = dense("key")(x)
+        v = dense("value")(x)
+        ctx = dot_product_attention(q, k, v, mask, impl=self.attn_impl)
+        out = nn.DenseGeneral(features=c.hidden_size, axis=(-2, -1),
+                              name="out")(ctx)
+        out = nn.Dropout(c.attention_dropout)(out, deterministic=deterministic)
+        return out
+
+
+class EncoderLayer(nn.Module):
+    cfg: TextEncoderConfig
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool):
+        c = self.cfg
+        # Post-LN (BERT-style): sublayer → residual → LayerNorm.
+        attn = MultiHeadSelfAttention(c, self.attn_impl, name="attention")(
+            x, mask, deterministic)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="attention_ln")(x + attn)
+        h = nn.Dense(c.intermediate_size, name="intermediate")(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(c.hidden_size, name="output")(h)
+        h = nn.Dropout(c.hidden_dropout)(h, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_ln")(x + h)
+
+
+class TextEncoder(nn.Module):
+    """Returns last_hidden_state [B,S,H] (and pooler output on request)."""
+
+    cfg: TextEncoderConfig
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask,
+                 token_type_ids: Optional[jax.Array] = None,
+                 deterministic: bool = True,
+                 return_pooled: bool = False):
+        c = self.cfg
+        B, S = input_ids.shape
+        word = nn.Embed(c.vocab_size, c.hidden_size, name="word_embeddings")(
+            input_ids)
+        if c.roberta_style_positions:
+            # RoBERTa: positions count non-pad tokens, offset by pad_id+1.
+            positions = (jnp.cumsum(attention_mask, axis=1) * attention_mask
+                         + c.pad_token_id).astype(jnp.int32)
+        else:
+            positions = jnp.broadcast_to(
+                jnp.arange(S, dtype=jnp.int32)[None, :], (B, S))
+        pos = nn.Embed(c.max_position_embeddings, c.hidden_size,
+                       name="position_embeddings")(positions)
+        x = word + pos
+        if c.type_vocab_size > 0:
+            if token_type_ids is None:
+                token_type_ids = jnp.zeros_like(input_ids)
+            x = x + nn.Embed(c.type_vocab_size, c.hidden_size,
+                             name="token_type_embeddings")(token_type_ids)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="embeddings_ln")(x)
+        x = nn.Dropout(c.hidden_dropout)(x, deterministic=deterministic)
+
+        mask = attention_mask.astype(jnp.float32)
+        for i in range(c.num_layers):
+            x = EncoderLayer(c, self.attn_impl, name=f"layer_{i}")(
+                x, mask, deterministic)
+
+        # Pooler params always exist (HF checkpoints ship them); the tanh
+        # dense on [B, H] is negligible next to the encoder stack.
+        pooled = nn.tanh(nn.Dense(c.hidden_size, name="pooler")(x[:, 0]))
+        if return_pooled:
+            return x, pooled
+        return x

@@ -1,0 +1,157 @@
+"""Classifier assemblies for subtasks 2A/2B/2C (reference C16, C21, C22).
+
+* ``TextClassifier`` — 2A: BERT encoder → pooling (any of the six modes) →
+  linear head (reference ``LLMWithClassificationHead`` classifier variant,
+  ``textmodel_example_task2A.py:291-383``).
+* ``ImageEncoderWithHead`` — the ``CustomDenseNet161`` wrapper (a misnomer in
+  the reference — it wraps any timm backbone, ``Multimodal_example_task2C.py:
+  562-585``): backbone features → Linear→ReLU→Dropout(0.35)→Linear.
+* ``ImageClassifier`` — 2B: backbone → (plain linear | BinaryHead) head
+  (``Untitled-2.py`` zoo wrappers).
+* ``MultimodalClassifier`` — 2C flagship (``Multimodal_example_task2C.py:
+  587-685``): AraBERT cls→Dropout(.3)→FC(768→512)+BN+ReLU; RoBERTa caption
+  branch likewise; image branch; fusion module; output Linear(512→1)+BN →
+  single logit.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mpmc_tpu.config import (FusionMethod, ImageEncoderConfig, ModelConfig,
+                             PoolingType)
+from mpmc_tpu.models.bert import TextEncoder
+from mpmc_tpu.models.convnext import ConvNeXt
+from mpmc_tpu.models.efficientnet import EfficientNet
+from mpmc_tpu.models.fusion import make_fusion
+from mpmc_tpu.models.pooling import Pooler
+from mpmc_tpu.models.resnet import ResNet, TinyResNet
+from mpmc_tpu.models.vit import BinaryHead, ViT
+
+
+def create_image_backbone(cfg: ImageEncoderConfig) -> nn.Module:
+    """timm-style factory (the reference's ``GeneralizedMemesClassifier``
+    generic-backbone pattern, ``Untitled-2.py:346-359``)."""
+    a = cfg.arch
+    if a == "resnet18":
+        return ResNet((2, 2, 2, 2), (64, 128, 256, 512), "basic")
+    if a == "resnet50":
+        return ResNet((3, 4, 6, 3), (64, 128, 256, 512), "bottleneck")
+    if a == "resnext50_32x4d":
+        return ResNet((3, 4, 6, 3), (64, 128, 256, 512), "bottleneck",
+                      groups=32, base_width=4)
+    if a == "seresnext50_32x4d":
+        return ResNet((3, 4, 6, 3), (64, 128, 256, 512), "bottleneck",
+                      groups=32, base_width=4, use_se=True)
+    if a == "tiny_resnet":
+        return TinyResNet()
+    if a in ("vit_base_16", "vit_base_patch16_224", "vit_base_patch16_384"):
+        return ViT()
+    if a in ("vit_large_16", "vit_large_patch16_384"):
+        return ViT(hidden_size=1024, num_layers=24, num_heads=16, mlp_dim=4096)
+    if a == "convnext_tiny":
+        return ConvNeXt()
+    if a in ("efficientnet_b3", "efficientnet_b4"):
+        return EfficientNet(a[-2:])
+    raise ValueError(f"Unknown image arch: {a}")
+
+
+class ImageEncoderWithHead(nn.Module):
+    """Backbone + fine-tune MLP (reference CustomDenseNet161, :562-585)."""
+
+    cfg: ImageEncoderConfig
+
+    @nn.compact
+    def __call__(self, image, train: bool = False):
+        feats = create_image_backbone(self.cfg)(image, train=train)
+        h = nn.Dense(self.cfg.finetune_dim, name="finetune_fc1")(feats)
+        h = nn.relu(h)
+        h = nn.Dropout(self.cfg.finetune_dropout)(h, deterministic=not train)
+        return nn.Dense(self.cfg.finetune_dim, name="finetune_fc2")(h)
+
+
+class TextClassifier(nn.Module):
+    """2A text-only classifier: encoder → pooler → linear head."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, train: bool = False):
+        hidden = TextEncoder(self.cfg.text, name="encoder")(
+            input_ids, attention_mask, deterministic=not train)
+        pooled = Pooler(self.cfg.pooling, self.cfg.text.hidden_size,
+                        name="pooler")(hidden, attention_mask)
+        return nn.Dense(self.cfg.num_classes, name="output")(pooled)
+
+
+class ImageClassifier(nn.Module):
+    """2B image-only classifier; ``binary_head=True`` gives the zoo's
+    l2-norm + scaled-linear head (``Untitled-2.py:164-179``)."""
+
+    cfg: ModelConfig
+    binary_head: bool = False
+
+    @nn.compact
+    def __call__(self, image, train: bool = False):
+        feats = create_image_backbone(self.cfg.image)(image, train=train)
+        if self.binary_head:
+            return BinaryHead(self.cfg.num_classes, name="binary_head")(feats)
+        return nn.Dense(self.cfg.num_classes, name="output")(feats)
+
+
+class _ModalityFC(nn.Module):
+    """Dropout → Linear(H→proj) → BatchNorm → ReLU (per-modality projection,
+    reference :591-600)."""
+
+    proj_dim: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Dropout(self.dropout)(x, deterministic=not train)
+        x = nn.Dense(self.proj_dim, name="fc")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn")(x)
+        return nn.relu(x)
+
+
+class MultimodalClassifier(nn.Module):
+    """2C flagship: text + image (+ caption) → fusion → single logit."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, text_ids, text_mask, image,
+                 caption_ids: Optional[jax.Array] = None,
+                 caption_mask: Optional[jax.Array] = None,
+                 train: bool = False):
+        c = self.cfg
+        hidden = TextEncoder(c.text, name="text_model")(
+            text_ids, text_mask, deterministic=not train)
+        text_feat = _ModalityFC(c.proj_dim, c.dropout, name="text_fc")(
+            hidden[:, 0], train)   # cls pooling (reference :590)
+
+        feats = [text_feat]
+        image_feat = ImageEncoderWithHead(c.image, name="image_model")(
+            image, train=train)
+        feats.append(image_feat)
+
+        use_caption = c.caption is not None and caption_ids is not None
+        if use_caption:
+            cap_hidden = TextEncoder(c.caption, name="caption_text_model")(
+                caption_ids, caption_mask, deterministic=not train)
+            cap_feat = _ModalityFC(c.proj_dim, c.dropout,
+                                   name="caption_text_fc")(
+                cap_hidden[:, 0], train)
+            feats.append(cap_feat)
+
+        fusion = make_fusion(c.fusion, c.proj_dim, len(feats))
+        fused = fusion(*feats, train=train)
+
+        logit = nn.Dense(1, name="output_fc")(fused)
+        logit = nn.BatchNorm(use_running_average=not train,
+                             name="output_bn")(logit)
+        return logit[:, 0]  # squeeze to [B] (reference :684)

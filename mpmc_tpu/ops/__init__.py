@@ -1,0 +1,5 @@
+from mpmc_tpu.ops.attention import dot_product_attention  # noqa: F401
+from mpmc_tpu.ops.losses import (  # noqa: F401
+    sigmoid_focal_loss,
+    softmax_cross_entropy,
+)

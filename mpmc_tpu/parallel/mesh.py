@@ -1,0 +1,53 @@
+"""Device mesh + sharding helpers (SPMD layer).
+
+The reference has no distribution at all (SURVEY.md §2.3: single device, no
+DDP, DataLoader num_workers=0).  The TPU build's parallelism is expressed
+here, idiomatically: a ``jax.sharding.Mesh`` over the chips, the batch sharded
+on a ``data`` axis, parameters replicated, and gradients averaged implicitly
+by XLA's SPMD partitioner when the jitted train step consumes the sharded
+batch.  An optional leading ``fold`` axis trains k cross-validation folds
+simultaneously (stacked-weights harness, SURVEY.md §2.3).
+
+Axis factoring note: on one host every axis rides ICI; the helpers keep axis
+names stable so a multi-host ("dcn", "ici")-factored mesh drops in without
+touching the train step.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mpmc_tpu.config import MeshConfig
+
+
+def make_mesh(cfg: Optional[MeshConfig] = None,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    cfg = cfg or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if cfg.num_fold_shards > 1:
+        if n % cfg.num_fold_shards:
+            raise ValueError(
+                f"{n} devices not divisible by {cfg.num_fold_shards} folds")
+        shape = (cfg.num_fold_shards, n // cfg.num_fold_shards)
+        return Mesh(np.asarray(devices).reshape(shape), cfg.axis_names())
+    return Mesh(np.asarray(devices).reshape(n), (cfg.data_axis,))
+
+
+def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
+    """Leading-axis batch sharding (DP)."""
+    return NamedSharding(mesh, P(data_axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, data_axis: str = "data"):
+    """Place a pytree of host arrays on the mesh, batch-sharded on axis 0."""
+    sh = batch_sharding(mesh, data_axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

@@ -7,11 +7,19 @@ before jax initializes its backends, hence this module-level block.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the driver environment presets JAX_PLATFORMS=axon (the
+# tunneled TPU) and its sitecustomize re-forces jax_platforms at interpreter
+# start, so the env var alone is not enough — override at the jax.config
+# level before any backend initializes.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,219 @@
+"""models: shapes, pooling-formula parity, fusion math, classifier forward/grad."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpmc_tpu.config import (FusionMethod, ImageEncoderConfig, ModelConfig,
+                             PoolingType, TextEncoderConfig)
+from mpmc_tpu.models import (MultimodalClassifier, Pooler, TextClassifier,
+                             TextEncoder)
+from mpmc_tpu.models.classifier import ImageClassifier, create_image_backbone
+from mpmc_tpu.models import fusion as F
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return TextEncoderConfig.tiny()
+
+
+def _text_batch(rng, B=2, S=16, vocab=512):
+    ids = jnp.asarray(rng.integers(0, vocab, (B, S)), jnp.int32)
+    mask = jnp.ones((B, S), jnp.int32).at[:, S // 2:].set(0)
+    return ids, mask
+
+
+def test_text_encoder_shapes(tiny_cfg, rng):
+    ids, mask = _text_batch(rng)
+    enc = TextEncoder(tiny_cfg)
+    params = enc.init(jax.random.key(0), ids, mask)
+    out = enc.apply(params, ids, mask)
+    assert out.shape == (2, 16, tiny_cfg.hidden_size)
+    out, pooled = enc.apply(params, ids, mask, return_pooled=True)
+    assert pooled.shape == (2, tiny_cfg.hidden_size)
+
+
+def test_text_encoder_padding_invariance(tiny_cfg, rng):
+    """Tokens behind the attention mask must not change unmasked positions'
+    representations (modulo their own embeddings feeding position 0..7)."""
+    ids, mask = _text_batch(rng)
+    enc = TextEncoder(tiny_cfg)
+    params = enc.init(jax.random.key(0), ids, mask)
+    out1 = enc.apply(params, ids, mask)
+    ids2 = ids.at[:, 8:].set(7)  # rewrite padded region
+    out2 = enc.apply(params, ids2, mask)
+    np.testing.assert_allclose(np.asarray(out1[:, :8]),
+                               np.asarray(out2[:, :8]), atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", list(PoolingType))
+def test_pooling_modes(mode, rng):
+    B, S, H = 2, 10, 32
+    hidden = jnp.asarray(rng.standard_normal((B, S, H)), jnp.float32)
+    mask = jnp.ones((B, S), jnp.int32).at[0, 5:].set(0)
+    pooler = Pooler(mode, hidden_size=H, attention_hidden_size=16)
+    params = pooler.init(jax.random.key(0), hidden, mask)
+    out = pooler.apply(params, hidden, mask)
+    if mode == PoolingType.NOPOOLING:
+        assert out.shape == (B, S, H)
+    else:
+        assert out.shape == (B, H)
+    if mode == PoolingType.CLS:
+        np.testing.assert_allclose(np.asarray(out), np.asarray(hidden[:, 0]))
+    if mode == PoolingType.MAX:
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(jnp.max(hidden, axis=1)))
+    if mode == PoolingType.MEAN:
+        m = np.asarray(mask, np.float32)[..., None]
+        exp = (np.asarray(hidden) * m).sum(1) / m.sum(1)
+        np.testing.assert_allclose(np.asarray(out), exp, rtol=1e-5)
+    if mode == PoolingType.ATTENTION:
+        # masked positions must carry zero weight
+        p = params["params"]
+        w1, b1 = np.asarray(p["attn_fc1"]["kernel"]), np.asarray(p["attn_fc1"]["bias"])
+        w2, b2 = np.asarray(p["attn_fc2"]["kernel"]), np.asarray(p["attn_fc2"]["bias"])
+        scores = np.tanh(np.asarray(hidden) @ w1 + b1) @ w2 + b2
+        scores = scores[..., 0] + (1 - np.asarray(mask)) * -1e9
+        w = np.exp(scores - scores.max(1, keepdims=True))
+        w /= w.sum(1, keepdims=True)
+        exp = (np.asarray(hidden) * w[..., None]).sum(1)
+        np.testing.assert_allclose(np.asarray(out), exp, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("method", list(FusionMethod))
+def test_fusion_three_modality(method, rng):
+    B, U = 4, 32
+    text = jnp.asarray(rng.standard_normal((B, U)), jnp.float32)
+    image = jnp.asarray(rng.standard_normal((B, U)), jnp.float32)
+    cap = jnp.asarray(rng.standard_normal((B, U)), jnp.float32)
+    mod = F.make_fusion(method, U, 3)
+    if method == FusionMethod.MCA:
+        args = (text, image, cap)
+    else:
+        args = (text, image, cap)
+    variables = mod.init(jax.random.key(0), *args, train=False)
+    out = mod.apply(variables, *args, train=False)
+    assert out.shape == (B, U)
+    # train mode with batch stats mutation
+    out_t, mutated = mod.apply(variables, *args, train=True,
+                               mutable=["batch_stats"])
+    assert out_t.shape == (B, U)
+
+
+def test_concat_attention3_formula(rng):
+    """ConcatAttention3 eval-mode output matches a numpy reimplementation of
+    the reference formula (gate = softmax(relu(BN(W·concat))))."""
+    B, U = 3, 8
+    feats = [jnp.asarray(rng.standard_normal((B, U)), jnp.float32)
+             for _ in range(3)]
+    mod = F.ConcatAttention3(3 * U, U)
+    variables = mod.init(jax.random.key(1), *feats, train=False)
+    out = np.asarray(mod.apply(variables, *feats, train=False))
+
+    p = variables["params"]["gated"]
+    concat = np.concatenate([np.asarray(f) for f in feats], axis=1)
+    g = concat @ np.asarray(p["gate_fc"]["kernel"]) + np.asarray(p["gate_fc"]["bias"])
+    # eval-mode BN with zero-init running stats: (x - 0)/sqrt(1+eps) * scale + bias
+    bnp = variables["params"]["gated"]["gate_bn"]
+    g = g / np.sqrt(1.0 + 1e-5) * np.asarray(bnp["scale"]) + np.asarray(bnp["bias"])
+    g = np.maximum(g, 0)
+    e = np.exp(g - g.max(1, keepdims=True))
+    gate = e / e.sum(1, keepdims=True)
+    h = (gate * concat) @ np.asarray(p["reduce_fc"]["kernel"]) + np.asarray(p["reduce_fc"]["bias"])
+    bnr = variables["params"]["gated"]["reduce_bn"]
+    h = h / np.sqrt(1.0 + 1e-5) * np.asarray(bnr["scale"]) + np.asarray(bnr["bias"])
+    exp = np.maximum(h, 0)
+    np.testing.assert_allclose(out, exp, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("arch,dim", [("resnet18", 512), ("resnet50", 2048),
+                                      ("tiny_resnet", 64),
+                                      ("convnext_tiny", 768)])
+def test_image_backbones(arch, dim, rng):
+    img = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    net = create_image_backbone(ImageEncoderConfig(arch=arch))
+    variables = net.init(jax.random.key(0), img, train=False)
+    out = net.apply(variables, img, train=False)
+    assert out.shape == (2, dim)
+
+
+def test_vit_backbone(rng):
+    img = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    net = create_image_backbone(ImageEncoderConfig(arch="vit_base_16"))
+    variables = net.init(jax.random.key(0), img, train=False)
+    assert net.apply(variables, img, train=False).shape == (2, 768)
+
+
+def test_text_classifier_forward(rng):
+    cfg = ModelConfig.tiny_2c()
+    ids, mask = _text_batch(rng, S=cfg.max_text_len,
+                            vocab=cfg.text.vocab_size)
+    model = TextClassifier(dataclasses_replace(cfg, num_classes=2,
+                                               pooling=PoolingType.ATTENTION))
+    variables = model.init(jax.random.key(0), ids, mask)
+    logits = model.apply(variables, ids, mask)
+    assert logits.shape == (2, 2)
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+    return dataclasses.replace(cfg, **kw)
+
+
+def test_multimodal_classifier_forward_and_grad(rng):
+    cfg = ModelConfig.tiny_2c()
+    B = 2
+    ids, mask = _text_batch(rng, B=B, S=cfg.max_text_len,
+                            vocab=cfg.text.vocab_size)
+    cap_ids, cap_mask = _text_batch(rng, B=B, S=cfg.max_caption_len,
+                                    vocab=cfg.caption.vocab_size)
+    img = jnp.asarray(rng.standard_normal(
+        (B, cfg.image.image_size, cfg.image.image_size, 3)), jnp.float32)
+    model = MultimodalClassifier(cfg)
+    variables = model.init(jax.random.key(0), ids, mask, img, cap_ids, cap_mask)
+    logit = model.apply(variables, ids, mask, img, cap_ids, cap_mask)
+    assert logit.shape == (B,)
+
+    def loss_fn(params):
+        out = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            ids, mask, img, cap_ids, cap_mask)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # every branch receives gradient
+    flat = {"/".join(str(k) for k in path): v
+            for path, v in jax.tree_util.tree_leaves_with_path(g)}
+    assert any("text_model" in k for k in flat)
+    assert any("image_model" in k for k in flat)
+    assert any("caption_text_model" in k for k in flat)
+
+
+def test_multimodal_train_mode_mutates_stats(rng):
+    cfg = ModelConfig.tiny_2c()
+    ids, mask = _text_batch(rng, S=cfg.max_text_len, vocab=cfg.text.vocab_size)
+    cap_ids, cap_mask = _text_batch(rng, S=cfg.max_caption_len,
+                                    vocab=cfg.caption.vocab_size)
+    img = jnp.asarray(rng.standard_normal(
+        (2, cfg.image.image_size, cfg.image.image_size, 3)), jnp.float32)
+    model = MultimodalClassifier(cfg)
+    variables = model.init(jax.random.key(0), ids, mask, img, cap_ids, cap_mask)
+    out, mutated = model.apply(
+        variables, ids, mask, img, cap_ids, cap_mask, train=True,
+        mutable=["batch_stats"],
+        rngs={"dropout": jax.random.key(1)})
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(before, after))
+
+
+def test_image_classifier_binary_head(rng):
+    cfg = ModelConfig(image=ImageEncoderConfig.tiny(), num_classes=2)
+    img = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    model = ImageClassifier(cfg, binary_head=True)
+    variables = model.init(jax.random.key(0), img)
+    assert model.apply(variables, img).shape == (2, 2)
