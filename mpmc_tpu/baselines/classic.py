@@ -1,0 +1,120 @@
+"""Organizer-style classical baselines (reference C5-C8).
+
+CPU-side sklearn baselines kept for README-table parity
+(``baselines/subtask_2{a,b,c}.py``):
+
+* majority — most-frequent train label applied to dev
+  (DummyClassifier(most_frequent) semantics, ``subtask_2a.py:35-53``);
+* random — seeded uniform label choice (``subtask_2a.py:56-70``; seeds 0/100/10
+  for 2A/2B/2C per ``subtask_2a.py:19``, ``subtask_2b.py:21``,
+  ``subtask_2c.py:21``);
+* ngram — TF-IDF unigrams (lowercase, max_df=.95, min_df=3,
+  max_features=5000) → linear SVC(C=1, random_state=0)
+  (``subtask_2a.py:73-94``);
+* feature-SVM — linear SVC over frozen encoder features (image-only for 2B,
+  image⊕text concat for 2C) from the feature-extraction stage's JSONs
+  (``subtask_2b.py:76-105``, ``subtask_2c.py:74-95``).
+
+Each runner emits a format-checked TSV and returns the scorer's
+(acc, P, R, macro-F1) — the reference's run→check→score loop
+(``subtask_2a.py:97-118``).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import random
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from mpmc_tpu.io.manifest import ID2L, L2ID, Manifest, read_manifest
+from mpmc_tpu.io.scorer import evaluate
+from mpmc_tpu.io.tsv import check_format, write_label_tsv
+
+log = logging.getLogger(__name__)
+
+RANDOM_SEEDS = {"2A": 0, "2B": 100, "2C": 10}
+
+
+def _check_and_score(pred_path: str, gold_path: str
+                     ) -> Tuple[float, float, float, float]:
+    if not check_format(pred_path):
+        raise ValueError(f"format check failed for {pred_path}")
+    scores = evaluate(gold_path, pred_path)
+    log.info("macro-F1: %.4f (%s)", scores[3], pred_path)
+    return scores
+
+
+def run_majority_baseline(train_path: str, dev_path: str, out_path: str,
+                          run_id: str = "majority"):
+    train = read_manifest(train_path)
+    dev = read_manifest(dev_path)
+    counts = np.bincount(train.labels, minlength=2)
+    major = int(np.argmax(counts))
+    write_label_tsv(out_path, dev.ids, [major] * len(dev), run_id)
+    return _check_and_score(out_path, dev_path)
+
+
+def run_random_baseline(train_path: str, dev_path: str, out_path: str,
+                        subtask: str = "2A", run_id: str = "random"):
+    dev = read_manifest(dev_path)
+    rng = random.Random(RANDOM_SEEDS.get(subtask, 0))
+    # label_list order matches the reference (["propaganda",
+    # "not_propaganda"], subtask_2a.py:61) so the seeded choice sequence
+    # reproduces the README numbers exactly.
+    labels = [rng.choice([1, 0]) for _ in dev.ids]
+    write_label_tsv(out_path, dev.ids, labels, run_id)
+    return _check_and_score(out_path, dev_path)
+
+
+def run_ngram_baseline(train_path: str, dev_path: str, out_path: str,
+                       run_id: str = "ngram"):
+    from sklearn.feature_extraction.text import TfidfVectorizer
+    from sklearn.pipeline import Pipeline
+    from sklearn.svm import SVC
+
+    train = read_manifest(train_path)
+    dev = read_manifest(dev_path)
+    pipe = Pipeline([
+        ("vect", TfidfVectorizer(ngram_range=(1, 1), lowercase=True,
+                                 max_df=0.95, min_df=3, max_features=5000)),
+        ("svc", SVC(C=1, kernel="linear", random_state=0)),
+    ])
+    pipe.fit(train.texts, train.labels)
+    pred = pipe.predict(dev.texts)
+    write_label_tsv(out_path, dev.ids, pred, run_id)
+    return _check_and_score(out_path, dev_path)
+
+
+def _load_features(path: str) -> Dict[str, Dict[str, list]]:
+    with open(path) as f:
+        return json.load(f)
+
+
+def run_feature_svm_baseline(train_feats_path: str, dev_feats_path: str,
+                             train_path: str, dev_path: str, out_path: str,
+                             use_text: bool = False,
+                             run_id: str = "feature-svm"):
+    """2B ('resnet') baseline on image features; 2C ('imgbert') on
+    image⊕text concat — over the extract-features stage's JSONs."""
+    from sklearn.svm import LinearSVC
+
+    train = read_manifest(train_path)
+    dev = read_manifest(dev_path)
+    trf = _load_features(train_feats_path)
+    def feats_for(split: Manifest, table) -> np.ndarray:
+        img = np.asarray([table["imgfeats"][i] for i in split.ids],
+                         dtype=np.float32)
+        if not use_text:
+            return img
+        txt = np.asarray([table["textfeats"][i] for i in split.ids],
+                         dtype=np.float32)
+        return np.concatenate([img, txt], axis=1)
+
+    clf = LinearSVC(random_state=0)
+    clf.fit(feats_for(train, trf), train.labels)
+    pred = clf.predict(feats_for(dev, _load_features(dev_feats_path)))
+    write_label_tsv(out_path, dev.ids, pred, run_id)
+    return _check_and_score(out_path, dev_path)

@@ -1,0 +1,128 @@
+"""Frozen-encoder feature extraction (reference C4 — ``baselines/extract_feat.py``).
+
+Extracts 768-d image features (ConvNeXt-Tiny, pooled — the torchvision
+``avgpool(features(img))`` equivalent, ``extract_feat.py:84-87,57-60``) and
+768-d text features (BERT pooler output over Arabic-normalized text,
+``extract_feat.py:90-92``) for every sample of a split, and dumps the same
+JSON schema the downstream SVM baselines read:
+``{"imgfeats": {id: [768 floats]}, "textfeats": {id: [768 floats]}}``
+(``extract_feat.py:110``).
+
+TPU-native: one jitted batched forward per modality (batch 32 like the
+reference's loader, ``extract_feat.py:47``), images decoded by the host
+pipeline.  Without converted pretrained weights the encoders are random-init
+(documented: this image has no network access); the stage, schema, and SVM
+plumbing are identical either way, and converted checkpoints drop in via
+``--text-params`` / ``--image-params`` msgpack files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from mpmc_tpu.config import TextEncoderConfig
+from mpmc_tpu.io.manifest import read_manifest
+
+
+def extract_features(data_dir: str, file_name: str, out_file_name: str,
+                     image_root: Optional[str] = None,
+                     batch_size: int = 32,
+                     text_vocab_path: Optional[str] = None,
+                     text_params_path: Optional[str] = None,
+                     image_params_path: Optional[str] = None) -> str:
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from mpmc_tpu.image.augment import eval_preprocess
+    from mpmc_tpu.image.pipeline import ImagePipeline
+    from mpmc_tpu.models.bert import TextEncoder
+    from mpmc_tpu.models.convnext import convnext_tiny
+    from mpmc_tpu.text.normalize import preprocess_arabic_tweet
+    from mpmc_tpu.text.wordpiece import WordPieceTokenizer
+
+    manifest = read_manifest(os.path.join(data_dir, file_name))
+    n = len(manifest)
+
+    # ---- image branch ----
+    net = convnext_tiny()
+    pipe = ImagePipeline(manifest.img_paths, root=image_root or data_dir,
+                         size=224)
+    images = pipe.preload()
+    img_vars = net.init(jax.random.key(0),
+                        jnp.zeros((1, 224, 224, 3), jnp.float32))
+    if image_params_path:
+        with open(image_params_path, "rb") as f:
+            img_vars = serialization.from_bytes(img_vars, f.read())
+
+    @jax.jit
+    def img_fwd(u8):
+        return net.apply(img_vars, eval_preprocess(u8))
+
+    img_feats = []
+    for s in range(0, n, batch_size):
+        chunk = images[s:s + batch_size]
+        pad = batch_size - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:],
+                                                    chunk.dtype)])
+        img_feats.append(np.asarray(img_fwd(jnp.asarray(chunk)))[:batch_size - pad
+                                                                 or batch_size])
+    img_feats = np.concatenate(img_feats)[:n]
+
+    # ---- text branch ----
+    cfg = TextEncoderConfig.arabertv2()
+    texts = [preprocess_arabic_tweet(t) for t in manifest.texts]
+    if text_vocab_path:
+        tok = WordPieceTokenizer.from_file(text_vocab_path)
+        vocab_size = max(tok.vocab.values()) + 1
+        cfg = TextEncoderConfig(vocab_size=vocab_size)
+    else:
+        # corpus-derived vocab (no pretrained vocab file available offline)
+        words: Dict[str, int] = {}
+        for t in texts:
+            for w in t.split():
+                words[w] = words.get(w, 0) + 1
+        top = sorted(words, key=words.get, reverse=True)[:30000]
+        chars = sorted({c for w in top for c in w})
+        vocab = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + top
+                 + ["##" + c for c in chars] + chars)
+        tok = WordPieceTokenizer({t: i for i, t in enumerate(vocab)})
+        cfg = TextEncoderConfig(vocab_size=len(vocab))
+    ids, mask = tok.encode_batch(texts, 128)
+
+    enc = TextEncoder(cfg)
+    txt_vars = enc.init(jax.random.key(1), ids[:1], mask[:1])
+    if text_params_path:
+        with open(text_params_path, "rb") as f:
+            txt_vars = serialization.from_bytes(txt_vars, f.read())
+
+    @jax.jit
+    def txt_fwd(i, m):
+        _, pooled = enc.apply(txt_vars, i, m, return_pooled=True)
+        return pooled
+
+    txt_feats = []
+    for s in range(0, n, batch_size):
+        i, m = ids[s:s + batch_size], mask[s:s + batch_size]
+        pad = batch_size - len(i)
+        if pad:
+            i = np.concatenate([i, np.zeros((pad, i.shape[1]), i.dtype)])
+            m = np.concatenate([m, np.zeros((pad, m.shape[1]), m.dtype)])
+        out = np.asarray(txt_fwd(jnp.asarray(i), jnp.asarray(m)))
+        txt_feats.append(out[:batch_size - pad or batch_size])
+    txt_feats = np.concatenate(txt_feats)[:n]
+
+    out_dir = os.path.join(data_dir, "features")
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, out_file_name)
+    with open(out_path, "w") as f:
+        json.dump({
+            "imgfeats": {i: v.tolist() for i, v in zip(manifest.ids, img_feats)},
+            "textfeats": {i: v.tolist() for i, v in zip(manifest.ids, txt_feats)},
+        }, f)
+    return out_path

@@ -1,0 +1,262 @@
+"""Subtask experiment drivers — the library equivalents of the reference's
+per-experiment scripts (SURVEY.md L4):
+
+* ``run_subtask_2a`` — text-only pipeline (``textmodel_example_task2A.py``):
+  Arabic normalization → WordPiece → TextClassifier (attention pooling, CE),
+  k-fold over train(+dev), per-fold TSV emission;
+* ``run_subtask_2b`` — image-only pipeline (``Untitled-2.py`` zoo /
+  ``imagemodel_example_task2B.py``): decode pipeline → image classifier
+  (optionally BinaryHead), CE;
+* ``run_subtask_2c`` — multimodal flagship (``Multimodal_example_task2C.py``):
+  text + image + cached captions → fusion → focal loss, 5-fold, prob TSVs
+  ready for ``mpmc_tpu.cv.ensemble``.
+
+Everything is configuration (one ``TrainConfig``) instead of the reference's
+8 near-duplicate scripts; encoders load converted checkpoints when provided
+and run random-init otherwise (no network in this environment).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from mpmc_tpu.config import (LossType, ModelConfig, PoolingType, Subtask,
+                             TrainConfig)
+from mpmc_tpu.cv.kfold import stratified_kfold
+from mpmc_tpu.io.manifest import Manifest, read_manifest
+from mpmc_tpu.text.normalize import preprocess_arabic_tweet
+from mpmc_tpu.text.wordpiece import WordPieceTokenizer
+
+log = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# Data preparation
+# ---------------------------------------------------------------------------
+
+def corpus_wordpiece_vocab(texts, max_words: int = 30000) -> Dict[str, int]:
+    """Corpus-derived WordPiece vocab for runs without a pretrained vocab
+    file (offline environment); word-level + character fallback."""
+    words: Dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            words[w] = words.get(w, 0) + 1
+    top = sorted(words, key=words.get, reverse=True)[:max_words]
+    chars = sorted({c for w in top for c in w})
+    tokens = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + top
+              + ["##" + c for c in chars] + chars)
+    return {t: i for i, t in enumerate(dict.fromkeys(tokens))}
+
+
+def build_tokenizer(texts, vocab_path: Optional[str]) -> WordPieceTokenizer:
+    if vocab_path and os.path.exists(vocab_path):
+        return WordPieceTokenizer.from_file(vocab_path)
+    return WordPieceTokenizer(corpus_wordpiece_vocab(texts))
+
+
+def prepare_text(manifest: Manifest, tok: WordPieceTokenizer, max_len: int,
+                 normalize: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    texts = ([preprocess_arabic_tweet(t) for t in manifest.texts]
+             if normalize else list(manifest.texts))
+    return tok.encode_batch(texts, max_len)
+
+
+def prepare_images(manifest: Manifest, image_root: str, size: int,
+                   grayscale: bool = False) -> np.ndarray:
+    from mpmc_tpu.image.pipeline import ImagePipeline
+    pipe = ImagePipeline(manifest.img_paths, root=image_root, size=size,
+                         grayscale=grayscale)
+    return pipe.preload()
+
+
+def prepare_captions(manifest: Manifest, images_u8: np.ndarray,
+                     cache_dir: str, cap_tok, max_len: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    from mpmc_tpu.models.captioner import precompute_captions
+    caps = precompute_captions(manifest.img_paths, images_u8,
+                               cache_dir=cache_dir)
+    return cap_tok.encode_batch(caps, max_len)
+
+
+# ---------------------------------------------------------------------------
+# Model wiring
+# ---------------------------------------------------------------------------
+
+def make_apply_fn(model, kind: str) -> Callable:
+    def apply_fn(variables, batch, train, rngs, mutable):
+        if kind == "text":
+            out = model.apply(variables, batch["text_ids"],
+                              batch["text_mask"], train=train, rngs=rngs,
+                              mutable=mutable)
+        elif kind == "image":
+            out = model.apply(variables, batch["image"], train=train,
+                              rngs=rngs, mutable=mutable)
+        else:
+            out = model.apply(variables, batch["text_ids"],
+                              batch["text_mask"], batch["image"],
+                              batch.get("caption_ids"),
+                              batch.get("caption_mask"), train=train,
+                              rngs=rngs, mutable=mutable)
+        return out if isinstance(out, tuple) else (out, {})
+    return apply_fn
+
+
+def _init_and_steps(model, cfg: TrainConfig, train_data, kind: str):
+    import jax
+    from mpmc_tpu.train.step import (create_train_state, make_eval_step,
+                                     make_optimizer, make_train_step)
+
+    ex = {k: v[:2] for k, v in train_data.items()}
+    if kind == "text":
+        variables = model.init(jax.random.key(cfg.seed), ex["text_ids"],
+                               ex["text_mask"])
+    elif kind == "image":
+        variables = model.init(jax.random.key(cfg.seed), ex["image"])
+    else:
+        variables = model.init(jax.random.key(cfg.seed), ex["text_ids"],
+                               ex["text_mask"], ex["image"],
+                               ex.get("caption_ids"), ex.get("caption_mask"))
+    n = len(train_data["label"])
+    bs = cfg.data.batch_size
+    total_steps = ((n + bs - 1) // bs) * cfg.epochs
+    tx = make_optimizer(cfg, total_steps)
+    state, _ = create_train_state(variables, tx)
+    apply_fn = make_apply_fn(model, kind)
+    return (state, make_train_step(apply_fn, cfg, tx),
+            make_eval_step(apply_fn, cfg))
+
+
+def _select(data: Dict[str, np.ndarray], idx) -> Dict[str, np.ndarray]:
+    return {k: v[idx] for k, v in data.items()}
+
+
+@dataclasses.dataclass
+class SubtaskResult:
+    fold_results: List
+    fold_prob_paths: List[str]
+
+
+def _run_folds(cfg: TrainConfig, model_factory, kind: str,
+               full_data: Dict[str, np.ndarray], ids: List[str],
+               test_data: Optional[Dict[str, np.ndarray]],
+               test_ids: Optional[List[str]],
+               out_dir: str, name: str, folds: Optional[List[int]] = None
+               ) -> SubtaskResult:
+    from mpmc_tpu.train.loop import fit
+    os.makedirs(out_dir, exist_ok=True)
+    labels = full_data["label"]
+    splits = stratified_kfold(labels, cfg.data.num_folds, cfg.data.fold_seed)
+    results, prob_paths = [], []
+    for k, (tr_idx, va_idx) in enumerate(splits):
+        if folds is not None and k not in folds:
+            continue
+        log.info("=== fold %d/%d ===", k, cfg.data.num_folds)
+        train_d = _select(full_data, tr_idx)
+        val_d = _select(full_data, va_idx)
+        t_data = test_data if test_data is not None else val_d
+        t_ids = test_ids if test_ids is not None else [ids[i] for i in va_idx]
+        model = model_factory()
+        state, train_step, eval_step = _init_and_steps(model, cfg, train_d,
+                                                       kind)
+        prefix = os.path.join(out_dir, f"{name}_{cfg.team_name}")
+        res = fit(state, train_step, eval_step, cfg, train_d,
+                  test_data=t_data, val_data=val_d, test_ids=t_ids,
+                  fold=k, tsv_prefix=prefix)
+        results.append(res)
+        prob_paths.append(f"{prefix}_probs_fold_{k}.tsv")
+        log.info("fold %d best test macro-F1: %.4f", k, res.best_macro_f1)
+    return SubtaskResult(results, prob_paths)
+
+
+# ---------------------------------------------------------------------------
+# Subtask entry points
+# ---------------------------------------------------------------------------
+
+def run_subtask_2a(cfg: TrainConfig, out_dir: str = "outputs/2a",
+                   vocab_path: Optional[str] = None,
+                   folds: Optional[List[int]] = None) -> SubtaskResult:
+    """10-fold over train+dev, CE loss, attention pooling
+    (reference textmodel_example_task2A.py:194,221-230,386)."""
+    from mpmc_tpu.models import TextClassifier
+    train = read_manifest(cfg.data.train_manifest)
+    dev = read_manifest(cfg.data.dev_manifest)
+    combined = train.concat(dev) if cfg.data.fold_over_train_plus_dev else train
+    tok = build_tokenizer([preprocess_arabic_tweet(t) for t in combined.texts],
+                          vocab_path)
+    mcfg = dataclasses.replace(
+        cfg.model, subtask=Subtask.A, num_classes=2,
+        pooling=PoolingType.ATTENTION,
+        text=dataclasses.replace(cfg.model.text,
+                                 vocab_size=max(tok.vocab.values()) + 1))
+    cfg = dataclasses.replace(cfg, model=mcfg, loss=LossType.CROSS_ENTROPY)
+    ids_arr, mask_arr = prepare_text(combined, tok, mcfg.max_text_len)
+    data = {"text_ids": ids_arr, "text_mask": mask_arr,
+            "label": combined.labels}
+    return _run_folds(cfg, lambda: TextClassifier(mcfg), "text", data,
+                      combined.ids, None, None, out_dir, "task2A", folds)
+
+
+def run_subtask_2b(cfg: TrainConfig, out_dir: str = "outputs/2b",
+                   binary_head: bool = False,
+                   folds: Optional[List[int]] = None) -> SubtaskResult:
+    """Image-only k-fold (reference Untitled-2.py zoo semantics)."""
+    from mpmc_tpu.models import ImageClassifier
+    train = read_manifest(cfg.data.train_manifest)
+    dev = read_manifest(cfg.data.dev_manifest)
+    mcfg = dataclasses.replace(cfg.model, subtask=Subtask.B, num_classes=2)
+    cfg = dataclasses.replace(cfg, model=mcfg, loss=LossType.CROSS_ENTROPY)
+    imgs = prepare_images(train, cfg.data.image_root, mcfg.image.image_size,
+                          mcfg.image.grayscale)
+    dev_imgs = prepare_images(dev, cfg.data.image_root, mcfg.image.image_size,
+                              mcfg.image.grayscale)
+    data = {"image": imgs.astype(np.float32) / 255.0, "label": train.labels}
+    test = {"image": dev_imgs.astype(np.float32) / 255.0, "label": dev.labels}
+    return _run_folds(cfg, lambda: ImageClassifier(mcfg, binary_head),
+                      "image", data, train.ids, test, dev.ids, out_dir,
+                      "task2B", folds)
+
+
+def run_subtask_2c(cfg: TrainConfig, out_dir: str = "outputs/2c",
+                   vocab_path: Optional[str] = None,
+                   folds: Optional[List[int]] = None) -> SubtaskResult:
+    """Flagship multimodal 5-fold over train, dev as test split, focal loss
+    (reference Multimodal_example_task2C.py setup())."""
+    from mpmc_tpu.models import MultimodalClassifier
+    from mpmc_tpu.text.bpe import ByteLevelBPETokenizer  # noqa: F401
+
+    train = read_manifest(cfg.data.train_manifest)
+    dev = read_manifest(cfg.data.dev_manifest)
+    tok = build_tokenizer([preprocess_arabic_tweet(t) for t in train.texts],
+                          vocab_path)
+    mcfg = dataclasses.replace(
+        cfg.model, subtask=Subtask.C, num_classes=1,
+        text=dataclasses.replace(cfg.model.text,
+                                 vocab_size=max(tok.vocab.values()) + 1))
+    cfg = dataclasses.replace(cfg, model=mcfg, loss=LossType.FOCAL)
+
+    def prep(split: Manifest):
+        ids_arr, mask_arr = prepare_text(split, tok, mcfg.max_text_len)
+        imgs = prepare_images(split, cfg.data.image_root,
+                              mcfg.image.image_size)
+        d = {"text_ids": ids_arr, "text_mask": mask_arr,
+             "image": imgs.astype(np.float32) / 255.0}
+        if mcfg.caption is not None:
+            cap_tok = build_tokenizer(["a meme of"], None)
+            cap_ids, cap_mask = prepare_captions(
+                split, imgs, cfg.data.cache_dir, cap_tok,
+                mcfg.max_caption_len)
+            d["caption_ids"], d["caption_mask"] = cap_ids, cap_mask
+        if split.labels is not None:
+            d["label"] = split.labels
+        return d
+
+    data = prep(train)
+    test = prep(dev)
+    return _run_folds(cfg, lambda: MultimodalClassifier(mcfg), "multimodal",
+                      data, train.ids, test, dev.ids, out_dir, "task2C",
+                      folds)

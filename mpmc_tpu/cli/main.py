@@ -1,0 +1,219 @@
+"""Unified CLI — one entry point replacing the reference's per-script zoo.
+
+Mirrors the reference's public surfaces (SURVEY.md §1 L3-L7):
+
+  python -m mpmc_tpu.cli.main check  -p pred.tsv            # format_checker/task2.py
+  python -m mpmc_tpu.cli.main score  -g gold.json -p pred.tsv  # scorer/task2.py
+  python -m mpmc_tpu.cli.main baselines --subtask 2a ...    # baselines/subtask_2a.py
+  python -m mpmc_tpu.cli.main extract-features ...          # baselines/extract_feat.py
+  python -m mpmc_tpu.cli.main train --subtask 2c --fold 0   # example_scripts/*
+  python -m mpmc_tpu.cli.main combine --files f0..f4 --gold # combine_preds.py
+  python -m mpmc_tpu.cli.main smoke                         # tiny e2e sanity run
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import sys
+
+
+def _cmd_check(args):
+    from mpmc_tpu.io.tsv import check_format
+    ok = all(check_format(p) for p in args.pred_files_path)
+    print("OK" if ok else "FORMAT ERROR")
+    return 0 if ok else 1
+
+
+def _cmd_score(args):
+    from mpmc_tpu.io.scorer import evaluate, validate_files
+    if not validate_files(args.pred_file_path):
+        return 1
+    acc, p, r, f1 = evaluate(args.gold_file_path, args.pred_file_path)
+    print(f"acc: {acc}, P:{p}, R:{r}, F1:{f1}")
+    return 0
+
+
+def _cmd_baselines(args):
+    from mpmc_tpu.baselines import (run_majority_baseline,
+                                    run_ngram_baseline, run_random_baseline)
+    sub = args.subtask.upper()
+    results = {}
+    results["majority"] = run_majority_baseline(
+        args.train_file_path, args.dev_file_path,
+        f"{args.out_dir}/majority_baseline_{sub}.tsv")
+    results["random"] = run_random_baseline(
+        args.train_file_path, args.dev_file_path,
+        f"{args.out_dir}/random_baseline_{sub}.tsv", subtask=sub)
+    if sub in ("2A", "2C"):
+        results["ngram"] = run_ngram_baseline(
+            args.train_file_path, args.dev_file_path,
+            f"{args.out_dir}/ngram_baseline_{sub}.tsv")
+    for name, (acc, p, r, f1) in results.items():
+        print(f"{name}: acc={acc:.3f} macro-F1={f1:.3f}")
+    return 0
+
+
+def _cmd_extract_features(args):
+    from mpmc_tpu.baselines.extract_features import extract_features
+    out = extract_features(args.data_dir, args.file_name, args.out_file_name,
+                           image_root=args.image_root)
+    print(f"features written to {out}")
+    return 0
+
+
+def _cmd_train(args):
+    from mpmc_tpu.cli.experiments import (run_subtask_2a, run_subtask_2b,
+                                          run_subtask_2c)
+    from mpmc_tpu.config import DataConfig, ModelConfig, TrainConfig
+
+    data = DataConfig(train_manifest=args.train_file_path,
+                      dev_manifest=args.dev_file_path,
+                      image_root=args.image_root,
+                      batch_size=args.batch_size,
+                      num_folds=args.num_folds,
+                      fold_over_train_plus_dev=(args.subtask == "2a"))
+    model = ModelConfig.tiny_2c() if args.tiny else ModelConfig()
+    cfg = TrainConfig(model=model, data=data, epochs=args.epochs,
+                      learning_rate=args.lr)
+    folds = [args.fold] if args.fold is not None else None
+    runner = {"2a": run_subtask_2a, "2b": run_subtask_2b,
+              "2c": run_subtask_2c}[args.subtask]
+    result = runner(cfg, out_dir=args.out_dir, folds=folds)
+    for k, r in enumerate(result.fold_results):
+        print(f"fold {k}: best macro-F1 {r.best_macro_f1:.4f}")
+    return 0
+
+
+def _cmd_combine(args):
+    from mpmc_tpu.cv.ensemble import (average_probability, majority_voting,
+                                      threshold_optimization)
+    from mpmc_tpu.io.scorer import read_gold
+    from mpmc_tpu.io.tsv import read_prob_predictions, write_label_tsv
+
+    folds = []
+    for path in args.files:
+        ids, _, probs = read_prob_predictions(path)
+        folds.append(dict(zip(ids, probs)))
+    gold = read_gold(args.gold)
+    avg = average_probability(folds)
+    labels, thr, f1 = threshold_optimization(avg, gold)
+    mv = majority_voting(folds)
+    agree = sum(labels[i] == mv[i] for i in labels) / len(labels)
+    print(f"avg-prob + threshold {thr:.3f}: binary-F1 {f1:.4f} "
+          f"(majority-vote agreement {agree:.1%})")
+    if args.out:
+        ids = list(labels)
+        write_label_tsv(args.out, ids,
+                        [1 if labels[i] == "propaganda" else 0 for i in ids],
+                        "ensemble")
+        print(f"wrote {args.out}")
+    return 0
+
+
+def _cmd_smoke(args):
+    """Tiny end-to-end 2C run on synthetic data; asserts learning happens."""
+    import numpy as np
+    import jax
+    from mpmc_tpu.config import DataConfig, ModelConfig, TrainConfig
+    from mpmc_tpu.models import MultimodalClassifier
+    from mpmc_tpu.cli.experiments import make_apply_fn
+    from mpmc_tpu.train.loop import fit
+    from mpmc_tpu.train.step import (create_train_state, make_eval_step,
+                                     make_optimizer, make_train_step)
+
+    mcfg = ModelConfig.tiny_2c()
+    cfg = TrainConfig(model=mcfg, data=DataConfig(batch_size=8), epochs=2,
+                      learning_rate=1e-3)
+    rng = np.random.default_rng(0)
+
+    def synth(n):
+        y = (rng.random(n) > 0.6).astype(np.int32)
+        ids = rng.integers(5, mcfg.text.vocab_size,
+                           (n, mcfg.max_text_len)).astype(np.int32)
+        img = rng.random((n, 64, 64, 3)).astype(np.float32)
+        img += (y * 1.5)[:, None, None, None]
+        cap = rng.integers(5, mcfg.caption.vocab_size,
+                           (n, mcfg.max_caption_len)).astype(np.int32)
+        return {"text_ids": ids, "text_mask": np.ones_like(ids),
+                "image": img, "caption_ids": cap,
+                "caption_mask": np.ones_like(cap), "label": y}
+
+    train_d, test_d = synth(64), synth(32)
+    model = MultimodalClassifier(mcfg)
+    apply_fn = make_apply_fn(model, "multimodal")
+    variables = model.init(jax.random.key(0), train_d["text_ids"][:2],
+                           train_d["text_mask"][:2], train_d["image"][:2],
+                           train_d["caption_ids"][:2],
+                           train_d["caption_mask"][:2])
+    tx = make_optimizer(cfg, 16)
+    state, _ = create_train_state(variables, tx)
+    res = fit(state, make_train_step(apply_fn, cfg, tx),
+              make_eval_step(apply_fn, cfg), cfg, train_d, test_data=test_d)
+    print(json.dumps({"smoke_best_macro_f1": round(res.best_macro_f1, 4)}))
+    return 0 if res.best_macro_f1 > 0.6 else 1
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(levelname)s : %(message)s")
+    parser = argparse.ArgumentParser(prog="mpmc_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("check")
+    p.add_argument("--pred-files-path", "-p", nargs="+", required=True)
+    p.set_defaults(fn=_cmd_check)
+
+    p = sub.add_parser("score")
+    p.add_argument("--gold-file-path", "-g", required=True)
+    p.add_argument("--pred-file-path", "-p", required=True)
+    p.set_defaults(fn=_cmd_score)
+
+    p = sub.add_parser("baselines")
+    p.add_argument("--subtask", choices=["2a", "2b", "2c"], required=True)
+    p.add_argument("--train-file-path", "-tr", required=True)
+    p.add_argument("--dev-file-path", "-te", required=True)
+    p.add_argument("--out-dir", "-o", default=".")
+    p.set_defaults(fn=_cmd_baselines)
+
+    p = sub.add_parser("extract-features")
+    p.add_argument("--data-dir", "-d", required=True)
+    p.add_argument("--file-name", "-f", required=True)
+    p.add_argument("--out-file-name", "-o", required=True)
+    p.add_argument("--image-root", default=None)
+    p.set_defaults(fn=_cmd_extract_features)
+
+    p = sub.add_parser("train")
+    p.add_argument("--subtask", choices=["2a", "2b", "2c"], required=True)
+    p.add_argument("--train-file-path", "-tr",
+                   default="/root/reference/data/arabic_memes_propaganda_araieval_24_train.json")
+    p.add_argument("--dev-file-path", "-te",
+                   default="/root/reference/data/arabic_memes_propaganda_araieval_24_dev.json")
+    p.add_argument("--image-root", default=".")
+    p.add_argument("--out-dir", "-o", default="outputs")
+    p.add_argument("--fold", type=int, default=None)
+    p.add_argument("--num-folds", type=int, default=5)
+    p.add_argument("--epochs", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model config (smoke/CI)")
+    p.set_defaults(fn=_cmd_train)
+
+    p = sub.add_parser("combine")
+    p.add_argument("--files", nargs="+", required=True)
+    p.add_argument("--gold", required=True)
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=_cmd_combine)
+
+    p = sub.add_parser("smoke")
+    p.set_defaults(fn=_cmd_smoke)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

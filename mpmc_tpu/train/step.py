@@ -40,11 +40,11 @@ def linear_warmup_schedule(base_lr: float, warmup_steps: int,
                            total_steps: int) -> optax.Schedule:
     """HF ``get_linear_schedule_with_warmup`` semantics: ramp 0→lr over
     ``warmup_steps``, then linear decay to 0 at ``total_steps``."""
-    warmup_steps = max(warmup_steps, 1)
+    warmup_steps = max(warmup_steps, 0)
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
-        warm = step / warmup_steps
+        warm = step / max(warmup_steps, 1)
         decay = jnp.maximum(
             0.0, (total_steps - step) / jnp.maximum(total_steps - warmup_steps, 1))
         return base_lr * jnp.where(step < warmup_steps, warm, decay)
@@ -97,11 +97,11 @@ def _cast_floats(tree, dtype):
 ApplyFn = Callable[..., Any]
 
 
-def make_train_step(apply_fn: ApplyFn, cfg: TrainConfig,
-                    tx: optax.GradientTransformation,
-                    class_weights: Optional[jnp.ndarray] = None,
-                    donate: bool = True):
-    """Build the jitted train step.
+def build_train_step_fn(apply_fn: ApplyFn, cfg: TrainConfig,
+                        tx: optax.GradientTransformation,
+                        class_weights: Optional[jnp.ndarray] = None):
+    """Build the raw (unjitted) train step — also the unit that fold-parallel
+    training vmaps over a stacked-parameters axis (parallel.fold_parallel).
 
     ``apply_fn(variables, batch, train, rngs, mutable)`` must run the model and
     return ``(outputs, mutated_vars)``: outputs [B] (single logit) or [B, C].
@@ -144,6 +144,15 @@ def make_train_step(apply_fn: ApplyFn, cfg: TrainConfig,
         metrics = {"loss": loss, "grad_norm": grad_norm}
         return new_state, metrics
 
+    return step_fn
+
+
+def make_train_step(apply_fn: ApplyFn, cfg: TrainConfig,
+                    tx: optax.GradientTransformation,
+                    class_weights: Optional[jnp.ndarray] = None,
+                    donate: bool = True):
+    """Jitted train step (donated state → in-place buffer reuse on device)."""
+    step_fn = build_train_step_fn(apply_fn, cfg, tx, class_weights)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 

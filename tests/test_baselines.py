@@ -1,0 +1,65 @@
+"""Known-answer baseline regression (SURVEY.md §4.3): the README table pins
+dev macro-F1 for the deterministic-seeded organizer baselines
+(/root/reference/README.md:142-150); our reimplementations must reproduce
+them exactly."""
+
+import pytest
+
+from mpmc_tpu.baselines import (run_majority_baseline, run_ngram_baseline,
+                                run_random_baseline)
+
+TRAIN = "/root/reference/data/arabic_memes_propaganda_araieval_24_train.json"
+DEV = "/root/reference/data/arabic_memes_propaganda_araieval_24_dev.json"
+
+
+def test_majority_baseline_matches_readme(tmp_path):
+    _, _, _, f1 = run_majority_baseline(TRAIN, DEV,
+                                        str(tmp_path / "maj.tsv"))
+    assert round(f1, 3) == 0.418  # README.md:147
+
+
+@pytest.mark.parametrize("subtask,expected",
+                         [("2A", 0.466), ("2B", 0.471), ("2C", 0.518)])
+def test_random_baseline_matches_readme(tmp_path, subtask, expected):
+    _, _, _, f1 = run_random_baseline(TRAIN, DEV,
+                                      str(tmp_path / "rand.tsv"),
+                                      subtask=subtask)
+    assert round(f1, 3) == expected  # README.md:146
+
+
+def test_ngram_baseline_matches_readme(tmp_path):
+    _, _, _, f1 = run_ngram_baseline(TRAIN, DEV, str(tmp_path / "ngram.tsv"))
+    assert round(f1, 3) == 0.579  # README.md:148
+
+
+def test_feature_svm_pipeline(tmp_path):
+    """2B/2C feature-SVM plumbing over synthetic feature JSONs."""
+    import json
+
+    import numpy as np
+
+    from mpmc_tpu.baselines import run_feature_svm_baseline
+    from mpmc_tpu.io.manifest import read_manifest
+
+    rng = np.random.default_rng(0)
+    train = read_manifest(TRAIN)
+    dev = read_manifest(DEV)
+
+    def feats(split, sep):
+        return {
+            "imgfeats": {i: (rng.standard_normal(16)
+                             + sep * y).tolist()
+                         for i, y in zip(split.ids, split.labels)},
+            "textfeats": {i: (rng.standard_normal(16)
+                              + sep * y).tolist()
+                          for i, y in zip(split.ids, split.labels)},
+        }
+
+    trp = tmp_path / "train_feats.json"
+    dvp = tmp_path / "dev_feats.json"
+    trp.write_text(json.dumps(feats(train, 2.0)))
+    dvp.write_text(json.dumps(feats(dev, 2.0)))
+    _, _, _, f1 = run_feature_svm_baseline(
+        str(trp), str(dvp), TRAIN, DEV, str(tmp_path / "svm.tsv"),
+        use_text=True)
+    assert f1 > 0.9  # separable synthetic features

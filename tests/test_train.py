@@ -1,0 +1,105 @@
+"""train layer: schedule, param groups, ROC/Youden metrics, batch iterator."""
+
+import jax
+import numpy as np
+import pytest
+
+from mpmc_tpu.config import TrainConfig
+from mpmc_tpu.train.loop import batch_iter, pad_to
+from mpmc_tpu.train.metrics import (optimal_threshold_youden, roc_curve,
+                                    threshold_scan)
+from mpmc_tpu.train.step import (_param_group, linear_warmup_schedule,
+                                 make_optimizer)
+
+
+def test_linear_warmup_schedule():
+    s = linear_warmup_schedule(1.0, warmup_steps=10, total_steps=110)
+    assert float(s(0)) == 0.0
+    assert float(s(5)) == pytest.approx(0.5)
+    assert float(s(10)) == pytest.approx(1.0)
+    assert float(s(60)) == pytest.approx(0.5)
+    assert float(s(110)) == pytest.approx(0.0)
+    assert float(s(200)) == 0.0
+
+
+def test_param_group_labels():
+    # reference get_params grouping (Multimodal_example_task2C.py:645-664)
+    class K:  # fake DictKey
+        def __init__(self, key):
+            self.key = key
+    assert _param_group((K("text_model"), K("layer_0"))) == "encoder"
+    assert _param_group((K("caption_text_model"), K("w"))) == "encoder"
+    assert _param_group((K("image_model"), K("stem"))) == "encoder"
+    assert _param_group((K("fusion"), K("gate_fc"))) == "head"
+    assert _param_group((K("text_fc"), K("kernel"))) == "head"
+    assert _param_group((K("output_fc"),)) == "head"
+
+
+def test_optimizer_group_lr_scale():
+    """encoder params update ~0.8× the head params under equal gradients."""
+    import jax.numpy as jnp
+    cfg = TrainConfig(learning_rate=1e-3, encoder_lr_scale=0.8,
+                      warmup_fraction=0.0, grad_clip_norm=1e9)
+    tx = make_optimizer(cfg, total_steps=100)
+    params = {"text_model": {"w": jnp.ones(4)}, "head_fc": {"w": jnp.ones(4)}}
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    enc = float(updates["text_model"]["w"][0])
+    head = float(updates["head_fc"]["w"][0])
+    assert enc / head == pytest.approx(0.8, rel=1e-3)
+
+
+def test_roc_matches_sklearn(rng):
+    from sklearn.metrics import roc_curve as sk_roc
+    for _ in range(5):
+        y = rng.integers(0, 2, 100)
+        s = rng.random(100)
+        ours = optimal_threshold_youden(y, s)
+        fpr, tpr, thr = sk_roc(y, s)
+        ref = thr[np.argmax(tpr - fpr)]
+        assert ours == pytest.approx(ref)
+
+
+def test_roc_curve_shape(rng):
+    y = np.array([0, 0, 1, 1])
+    s = np.array([0.1, 0.4, 0.35, 0.8])
+    fpr, tpr, thr = roc_curve(y, s)
+    assert fpr[0] == 0 and tpr[0] == 0
+    assert fpr[-1] == 1 and tpr[-1] == 1
+
+
+def test_threshold_scan_matches_reference_formula(rng):
+    """100-point linspace argmax of binary F1 (combine_preds.py:34-47)."""
+    from sklearn.metrics import f1_score
+    y = rng.integers(0, 2, 200)
+    p = rng.random(200)
+    thr, best = threshold_scan(y, p)
+    ts = np.linspace(0, 1, 100)
+    scores = [f1_score(y, p > t) for t in ts]
+    assert thr == pytest.approx(ts[int(np.argmax(scores))])
+    assert best == pytest.approx(max(scores))
+
+
+def test_batch_iter_pads_and_covers(rng):
+    data = {"x": rng.standard_normal((10, 3)), "label": np.arange(10)}
+    seen = []
+    for batch, n_valid in batch_iter(data, 4):
+        assert batch["x"].shape == (4, 3)
+        seen.extend(batch["label"][:n_valid].tolist())
+    assert sorted(seen) == list(range(10))
+
+
+def test_batch_iter_shuffles(rng):
+    data = {"label": np.arange(100)}
+    order1 = [b["label"][:n].tolist()
+              for b, n in batch_iter(data, 10, shuffle=True,
+                                     rng=np.random.default_rng(1))]
+    assert sorted(sum(order1, [])) == list(range(100))
+    assert sum(order1, []) != list(range(100))
+
+
+def test_pad_to():
+    x = np.ones((3, 2))
+    assert pad_to(x, 5).shape == (5, 2)
+    assert pad_to(x, 3) is x
