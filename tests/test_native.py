@@ -1,0 +1,100 @@
+"""C++ host runtime: parity with the pure-Python oracles.
+
+Skipped wholesale if the native library can't build (toolchain missing).
+"""
+
+import numpy as np
+import pytest
+
+from mpmc_tpu import native_lib
+
+pytestmark = pytest.mark.skipif(native_lib.load() is None,
+                                reason="native toolchain unavailable")
+
+DEV = "/root/reference/data/arabic_memes_propaganda_araieval_24_dev.json"
+
+
+@pytest.fixture(scope="module")
+def vocab_file(tmp_path_factory):
+    from mpmc_tpu.io import read_manifest
+    from mpmc_tpu.cli.experiments import corpus_wordpiece_vocab
+    from mpmc_tpu.text.normalize import preprocess_arabic_tweet
+    m = read_manifest(DEV)
+    texts = [preprocess_arabic_tweet(t) for t in m.texts]
+    vocab = corpus_wordpiece_vocab(texts, max_words=2000)
+    p = tmp_path_factory.mktemp("nat") / "vocab.txt"
+    ordered = sorted(vocab, key=vocab.get)
+    p.write_text("\n".join(ordered) + "\n", encoding="utf-8")
+    return str(p), texts
+
+
+def test_native_tokenizer_matches_python(vocab_file):
+    from mpmc_tpu.text.native import NativeWordPieceTokenizer
+    from mpmc_tpu.text.wordpiece import WordPieceTokenizer
+    path, texts = vocab_file
+    nat = NativeWordPieceTokenizer(path)
+    py = WordPieceTokenizer.from_file(path)
+    n_ids, n_mask = nat.encode_batch(texts, 64)
+    p_ids, p_mask = py.encode_batch(texts, 64)
+    mismatch = (n_ids != p_ids).any(axis=1)
+    assert mismatch.sum() == 0, \
+        f"{mismatch.sum()}/{len(texts)} rows differ, e.g. {texts[int(np.argmax(mismatch))][:60]!r}"
+    np.testing.assert_array_equal(n_mask, p_mask)
+
+
+def test_native_tokenizer_edge_cases(vocab_file):
+    from mpmc_tpu.text.native import NativeWordPieceTokenizer
+    from mpmc_tpu.text.wordpiece import WordPieceTokenizer
+    path, _ = vocab_file
+    nat = NativeWordPieceTokenizer(path)
+    py = WordPieceTokenizer.from_file(path)
+    cases = ["", "   ", "a" * 200, "x!y?z", "مرحبا، بكم.",
+             "tab\there\nnewline", "emoji 😀 inside", "١٢٣ أرقام"]
+    for s in cases:
+        n_ids, n_mask = nat.encode(s, 32)
+        p_ids, p_mask = py.encode(s, 32)
+        assert n_ids.tolist() == p_ids.tolist(), repr(s)
+
+
+def test_native_tokenizer_threads(vocab_file):
+    from mpmc_tpu.text.native import NativeWordPieceTokenizer
+    path, texts = vocab_file
+    nat1 = NativeWordPieceTokenizer(path, num_threads=1)
+    nat8 = NativeWordPieceTokenizer(path, num_threads=8)
+    a, _ = nat1.encode_batch(texts, 48)
+    b, _ = nat8.encode_batch(texts, 48)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_native_image_decode_parity(tmp_path):
+    from PIL import Image
+    from mpmc_tpu.image import native as inat
+    from mpmc_tpu.image.decode import _resize_bilinear_u8
+    rng = np.random.default_rng(1)
+    img = (rng.random((150, 200, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "x.png"
+    Image.fromarray(img).save(p)
+    nat = inat.decode_resize(str(p), 96)
+    ref = _resize_bilinear_u8(img, 96)
+    assert np.abs(nat.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_native_image_decode_jpeg_and_gray(tmp_path):
+    from PIL import Image
+    from mpmc_tpu.image import native as inat
+    rng = np.random.default_rng(2)
+    img = (rng.random((600, 800, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "x.jpg"
+    Image.fromarray(img).save(p, quality=90)
+    out = inat.decode_resize(str(p), 224)
+    assert out is not None and out.shape == (224, 224, 3)
+    g = inat.decode_resize(str(p), 224, grayscale=True)
+    assert g is not None and g.shape == (224, 224, 1)
+    assert inat.decode_resize(str(tmp_path / "missing.jpg"), 224) is None
+
+
+def test_native_image_rejects_garbage(tmp_path):
+    from mpmc_tpu.image import native as inat
+    p = tmp_path / "garbage.jpg"
+    p.write_bytes(b"\xff\xd8not really a jpeg at all")
+    assert inat.decode_resize(str(p), 64) is None
