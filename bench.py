@@ -71,19 +71,17 @@ def main():
     device_batch = jax.device_put(batch)
     for i in range(WARMUP):
         state, metrics = step_fn(state, device_batch, jax.random.key(i))
-        jax.block_until_ready(metrics)
+        float(metrics["loss"])
 
-    # Per-step timing with a hard sync each step (the tunneled runtime has
-    # shown unreliable async-chain timing), median-of-steps.
-    times = []
+    # Host-materialize the loss every step: on the tunneled axon runtime
+    # block_until_ready does not reliably block, so a float() pull is the
+    # only trustworthy sync point.
+    t0 = time.perf_counter()
     for i in range(STEPS):
-        t0 = time.perf_counter()
         state, metrics = step_fn(state, device_batch,
                                  jax.random.key(WARMUP + i))
-        jax.block_until_ready(metrics)
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    dt = times[len(times) // 2]
+        float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / STEPS
 
     memes_per_sec = BATCH / dt
 

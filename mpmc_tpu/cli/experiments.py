@@ -87,8 +87,28 @@ def prepare_captions(manifest: Manifest, images_u8: np.ndarray,
 # Model wiring
 # ---------------------------------------------------------------------------
 
-def make_apply_fn(model, kind: str) -> Callable:
+def make_apply_fn(model, kind: str, augment_images: bool = False,
+                  grayscale: bool = False) -> Callable:
+    """Wrap model.apply; with ``augment_images`` the batch carries raw uint8
+    images and the photometric/geometric augmentation chain runs on-device
+    inside the jitted step (train) or deterministic normalize (eval) —
+    replacing the reference's per-sample host torchvision transforms
+    (Multimodal_example_task2C.py:222-235)."""
+
     def apply_fn(variables, batch, train, rngs, mutable):
+        if augment_images and "image" in batch:
+            import jax as _jax
+            import jax.numpy as _jnp
+            from mpmc_tpu.image.augment import eval_preprocess, train_augment
+            img = batch["image"]
+            if train:
+                img = train_augment(rngs["augment"], img)
+            else:
+                img = eval_preprocess(img, grayscale=grayscale)
+            leaves = _jax.tree_util.tree_leaves(variables["params"])
+            if leaves and leaves[0].dtype == _jnp.bfloat16:
+                img = img.astype(_jnp.bfloat16)
+            batch = dict(batch, image=img)
         if kind == "text":
             out = model.apply(variables, batch["text_ids"],
                               batch["text_mask"], train=train, rngs=rngs,
@@ -106,12 +126,16 @@ def make_apply_fn(model, kind: str) -> Callable:
     return apply_fn
 
 
-def _init_and_steps(model, cfg: TrainConfig, train_data, kind: str):
+def _init_and_steps(model, cfg: TrainConfig, train_data, kind: str,
+                    augment: bool = False, grayscale: bool = False):
     import jax
+    import numpy as np
     from mpmc_tpu.train.step import (create_train_state, make_eval_step,
                                      make_optimizer, make_train_step)
 
     ex = {k: v[:2] for k, v in train_data.items()}
+    if "image" in ex and ex["image"].dtype == np.uint8:
+        ex["image"] = ex["image"].astype(np.float32) / 255.0
     if kind == "text":
         variables = model.init(jax.random.key(cfg.seed), ex["text_ids"],
                                ex["text_mask"])
@@ -126,7 +150,8 @@ def _init_and_steps(model, cfg: TrainConfig, train_data, kind: str):
     total_steps = ((n + bs - 1) // bs) * cfg.epochs
     tx = make_optimizer(cfg, total_steps)
     state, _ = create_train_state(variables, tx)
-    apply_fn = make_apply_fn(model, kind)
+    apply_fn = make_apply_fn(model, kind, augment_images=augment,
+                             grayscale=grayscale)
     return (state, make_train_step(apply_fn, cfg, tx),
             make_eval_step(apply_fn, cfg))
 
@@ -145,7 +170,8 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
                full_data: Dict[str, np.ndarray], ids: List[str],
                test_data: Optional[Dict[str, np.ndarray]],
                test_ids: Optional[List[str]],
-               out_dir: str, name: str, folds: Optional[List[int]] = None
+               out_dir: str, name: str, folds: Optional[List[int]] = None,
+               augment: bool = False, grayscale: bool = False
                ) -> SubtaskResult:
     from mpmc_tpu.train.loop import fit
     os.makedirs(out_dir, exist_ok=True)
@@ -161,8 +187,8 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
         t_data = test_data if test_data is not None else val_d
         t_ids = test_ids if test_ids is not None else [ids[i] for i in va_idx]
         model = model_factory()
-        state, train_step, eval_step = _init_and_steps(model, cfg, train_d,
-                                                       kind)
+        state, train_step, eval_step = _init_and_steps(
+            model, cfg, train_d, kind, augment=augment, grayscale=grayscale)
         prefix = os.path.join(out_dir, f"{name}_{cfg.team_name}")
         res = fit(state, train_step, eval_step, cfg, train_d,
                   test_data=t_data, val_data=val_d, test_ids=t_ids,
@@ -214,11 +240,12 @@ def run_subtask_2b(cfg: TrainConfig, out_dir: str = "outputs/2b",
                           mcfg.image.grayscale)
     dev_imgs = prepare_images(dev, cfg.data.image_root, mcfg.image.image_size,
                               mcfg.image.grayscale)
-    data = {"image": imgs.astype(np.float32) / 255.0, "label": train.labels}
-    test = {"image": dev_imgs.astype(np.float32) / 255.0, "label": dev.labels}
+    data = {"image": imgs, "label": train.labels}
+    test = {"image": dev_imgs, "label": dev.labels}
     return _run_folds(cfg, lambda: ImageClassifier(mcfg, binary_head),
                       "image", data, train.ids, test, dev.ids, out_dir,
-                      "task2B", folds)
+                      "task2B", folds, augment=not mcfg.image.grayscale,
+                      grayscale=mcfg.image.grayscale)
 
 
 def run_subtask_2c(cfg: TrainConfig, out_dir: str = "outputs/2c",
@@ -243,8 +270,7 @@ def run_subtask_2c(cfg: TrainConfig, out_dir: str = "outputs/2c",
         ids_arr, mask_arr = prepare_text(split, tok, mcfg.max_text_len)
         imgs = prepare_images(split, cfg.data.image_root,
                               mcfg.image.image_size)
-        d = {"text_ids": ids_arr, "text_mask": mask_arr,
-             "image": imgs.astype(np.float32) / 255.0}
+        d = {"text_ids": ids_arr, "text_mask": mask_arr, "image": imgs}
         if mcfg.caption is not None:
             cap_tok = build_tokenizer(["a meme of"], None)
             cap_ids, cap_mask = prepare_captions(
@@ -259,4 +285,4 @@ def run_subtask_2c(cfg: TrainConfig, out_dir: str = "outputs/2c",
     test = prep(dev)
     return _run_folds(cfg, lambda: MultimodalClassifier(mcfg), "multimodal",
                       data, train.ids, test, dev.ids, out_dir, "task2C",
-                      folds)
+                      folds, augment=True)

@@ -121,7 +121,9 @@ class ImageEncoderConfig:
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
     subtask: Subtask = Subtask.C
-    text: TextEncoderConfig = dataclasses.field(default_factory=TextEncoderConfig)
+    # text=None drops the Arabic-text branch (image+caption 2B variant, C23)
+    text: Optional[TextEncoderConfig] = dataclasses.field(
+        default_factory=TextEncoderConfig)
     caption: Optional[TextEncoderConfig] = dataclasses.field(
         default_factory=TextEncoderConfig.roberta_base)
     image: Optional[ImageEncoderConfig] = dataclasses.field(
@@ -133,6 +135,22 @@ class ModelConfig:
     num_classes: int = 1              # 1 = single-logit sigmoid path (2C); 2 = CE path (2A)
     max_text_len: int = 512
     max_caption_len: int = 512
+
+    @staticmethod
+    def clip_style_2c() -> "ModelConfig":
+        """Working CLIP-style dual-encoder 2C config — ViT-B/32 image trunk +
+        BERT text encoder + fusion head (the reference's CLIP attempt,
+        ``mm_model_mm_example_task2C.py``, was abandoned non-runnable; this is
+        the functional equivalent)."""
+        return ModelConfig(
+            image=ImageEncoderConfig(arch="vit_base_32", feature_dim=768),
+            caption=None)
+
+    @staticmethod
+    def captions_2b() -> "ModelConfig":
+        """Image+caption 2B variant (C23) — the reference's
+        ``imagemodel_example_task2B.py`` intent, minus its NameError."""
+        return ModelConfig(text=None)
 
     @staticmethod
     def tiny_2c() -> "ModelConfig":

@@ -51,6 +51,10 @@ def create_image_backbone(cfg: ImageEncoderConfig) -> nn.Module:
         return TinyResNet()
     if a in ("vit_base_16", "vit_base_patch16_224", "vit_base_patch16_384"):
         return ViT()
+    if a in ("vit_base_32", "clip_vit_b32"):
+        # CLIP-style ViT-B/32 trunk (the working version of the reference's
+        # abandoned CLIP 2C attempt, mm_model_mm_example_task2C.py:49 — C26)
+        return ViT(patch_size=32)
     if a in ("vit_large_16", "vit_large_patch16_384"):
         return ViT(hidden_size=1024, num_layers=24, num_heads=16, mlp_dim=4096)
     if a == "convnext_tiny":
@@ -129,12 +133,16 @@ class MultimodalClassifier(nn.Module):
                  caption_mask: Optional[jax.Array] = None,
                  train: bool = False):
         c = self.cfg
-        hidden = TextEncoder(c.text, name="text_model")(
-            text_ids, text_mask, deterministic=not train)
-        text_feat = _ModalityFC(c.proj_dim, c.dropout, name="text_fc")(
-            hidden[:, 0], train)   # cls pooling (reference :590)
+        feats = []
+        # Text branch is optional (cfg.text=None): the image+caption variant
+        # the reference intended in imagemodel_example_task2B.py but left
+        # broken (NameError on the missing text_model global, :576 — C23).
+        if c.text is not None and text_ids is not None:
+            hidden = TextEncoder(c.text, name="text_model")(
+                text_ids, text_mask, deterministic=not train)
+            feats.append(_ModalityFC(c.proj_dim, c.dropout, name="text_fc")(
+                hidden[:, 0], train))  # cls pooling (reference :590)
 
-        feats = [text_feat]
         image_feat = ImageEncoderWithHead(c.image, name="image_model")(
             image, train=train)
         feats.append(image_feat)

@@ -48,16 +48,18 @@ def _attention_xla(q, k, v, mask, scale):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, scale):
-    q = q_ref[0, 0].astype(jnp.float32)          # [Sq, D]
-    k = k_ref[0, 0].astype(jnp.float32)          # [Sk, D]
-    v = v_ref[0, 0].astype(jnp.float32)          # [Sk, D]
+    # Matmuls take the refs' native dtype (bf16 under the train policy) so the
+    # MXU runs at full bf16 rate; accumulation and softmax stay f32.
+    q = q_ref[0, 0]                              # [Sq, D]
+    k = k_ref[0, 0]                              # [Sk, D]
+    v = v_ref[0, 0]                              # [Sk, D]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     s = s + (1.0 - mask_ref[0, 0].astype(jnp.float32))[None, :] * _NEG_INF
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
-    p = e / denom
+    p = (e / denom).astype(v.dtype)
     o = jnp.dot(p, v, preferred_element_type=jnp.float32)
     o_ref[0, 0] = o.astype(o_ref.dtype)
     lse_ref[0, 0, 0] = (m[:, 0] + jnp.log(denom[:, 0]))
@@ -111,25 +113,27 @@ def _fwd_pallas(q, k, v, mask, scale):
 
 def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, scale):
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
     o = o_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0]
+    do_f32 = do.astype(jnp.float32)
     lse = lse_ref[0, 0, 0]                        # [Sq]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     s = s + (1.0 - mask_ref[0, 0].astype(jnp.float32))[None, :] * _NEG_INF
-    p = jnp.exp(s - lse[:, None])                 # [Sq, Sk]
+    p = jnp.exp(s - lse[:, None])                 # [Sq, Sk] f32
+    p_lo = p.astype(v.dtype)
     # dv = P^T dO
     dv_ref[0, 0] = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())),
+        p_lo, do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dv_ref.dtype)
     # dP = dO V^T ; dS = P * (dP - rowsum(dO * O))
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    delta = jnp.sum(do * o, axis=-1, keepdims=True)
-    ds = p * (dp - delta) * scale
+    delta = jnp.sum(do_f32 * o, axis=-1, keepdims=True)
+    ds = (p * (dp - delta) * scale).astype(q.dtype)
     dq_ref[0, 0] = jnp.dot(ds, k, preferred_element_type=jnp.float32
                            ).astype(dq_ref.dtype)
     dk_ref[0, 0] = jax.lax.dot_general(

@@ -119,6 +119,8 @@ def build_train_step_fn(apply_fn: ApplyFn, cfg: TrainConfig,
             class_weights=class_weights if cfg.use_class_weights else None)
 
     def step_fn(state: TrainState, batch: Dict, dropout_rng: jax.Array):
+        drop_key, aug_key = jax.random.split(dropout_rng)
+
         def loss_fn(params):
             variables = {"params": _cast_floats(params, compute_dtype),
                          "batch_stats": state.batch_stats}
@@ -128,7 +130,8 @@ def build_train_step_fn(apply_fn: ApplyFn, cfg: TrainConfig,
                 for k, v in batch.items()}
             outputs, mutated = apply_fn(
                 variables, cast_batch, train=True,
-                rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
+                rngs={"dropout": drop_key, "augment": aug_key},
+                mutable=["batch_stats"])
             loss = loss_from_outputs(outputs, batch["label"])
             return loss, mutated.get("batch_stats", state.batch_stats)
 
