@@ -23,6 +23,15 @@ import time
 import jax
 import numpy as np
 
+# Persistent compilation cache: the flagship step compiles once per machine
+# (~3 min on the tunneled chip), then reloads in seconds.
+try:
+    os.makedirs(".cache/jax", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", ".cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 from mpmc_tpu.config import DataConfig, ModelConfig, TrainConfig
 from mpmc_tpu.models import MultimodalClassifier
 from mpmc_tpu.train.step import (build_train_step_fn, create_train_state,

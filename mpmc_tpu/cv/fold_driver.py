@@ -1,0 +1,114 @@
+"""Fold-parallel cross-validation driver: all k folds train at once.
+
+The reference trains folds strictly sequentially (5× the wall-clock,
+``Multimodal_example_task2C.py:882-885``) or as manually-launched processes
+(``textmodel_example_task2A.py:186-192``).  Here the k per-fold model replicas
+are stacked on a leading ``fold`` axis, sharded over the mesh's ``fold``
+dimension, and every optimizer step advances all folds in one SPMD program
+(``parallel.fold_parallel``); each fold samples batches from its own train
+indices, so the stacked batch is [F, B, ...] sharded (fold, data).
+
+Eval runs the vmapped eval step on the shared test split and returns per-fold
+probabilities — feeding the same TSV/ensembling surface as the sequential
+driver.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from mpmc_tpu.config import TrainConfig
+from mpmc_tpu.cv.kfold import stratified_kfold
+from mpmc_tpu.io.scorer import macro_f1
+from mpmc_tpu.io.tsv import write_label_tsv, write_prob_tsv
+from mpmc_tpu.train.loop import pad_to
+from mpmc_tpu.train.metrics import optimal_threshold_youden
+
+log = logging.getLogger(__name__)
+
+
+def fit_folds_parallel(cfg: TrainConfig, init_fold_state: Callable,
+                       step_fn: Callable, eval_fn: Callable,
+                       full_data: Dict[str, np.ndarray],
+                       test_data: Dict[str, np.ndarray],
+                       test_ids: List[str], mesh,
+                       tsv_prefix: Optional[str] = None,
+                       run_id: str = "fold-parallel") -> List[Dict]:
+    """Train all folds simultaneously.
+
+    init_fold_state(fold) -> TrainState (unstacked);
+    step_fn(state, batch, rng) -> (state, metrics)   [single-fold, unjitted];
+    eval_fn(state, batch) -> (probs, loss)           [single-fold, unjitted].
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mpmc_tpu.parallel.fold_parallel import (
+        make_fold_parallel_eval_step, make_fold_parallel_train_step,
+        stack_states)
+
+    F = cfg.data.num_folds
+    bs = cfg.data.batch_size
+    labels = full_data["label"]
+    splits = stratified_kfold(labels, F, cfg.data.fold_seed)
+
+    states = stack_states([init_fold_state(k) for k in range(F)])
+    fp_step = make_fold_parallel_train_step(step_fn, mesh)
+    fp_eval = make_fold_parallel_eval_step(eval_fn, mesh)
+    fold_sh = NamedSharding(mesh, P("fold"))
+    batch_sh = NamedSharding(mesh, P("fold", "data"))
+    states = jax.device_put(states, fold_sh)
+
+    train_idx = [tr for tr, _ in splits]
+    steps_per_epoch = max(len(t) for t in train_idx) // bs
+    rngs = [np.random.default_rng(cfg.seed + k) for k in range(F)]
+    key = jax.random.key(cfg.seed)
+
+    for epoch in range(cfg.epochs):
+        perms = [rng.permutation(idx) for rng, idx in zip(rngs, train_idx)]
+        for step in range(steps_per_epoch):
+            batch = {}
+            for name, arr in full_data.items():
+                rows = []
+                for k in range(F):
+                    take = perms[k][(step * bs) % len(perms[k]):][:bs]
+                    if len(take) < bs:  # wrap around
+                        take = np.concatenate(
+                            [take, perms[k][:bs - len(take)]])
+                    rows.append(arr[take])
+                batch[name] = np.stack(rows)
+            batch = jax.device_put(batch, batch_sh)
+            key, sub = jax.random.split(key)
+            fold_keys = jax.device_put(jax.random.split(sub, F), fold_sh)
+            states, metrics = fp_step(states, batch, fold_keys)
+        log.info("epoch %d: per-fold losses %s", epoch,
+                 [round(float(x), 4) for x in np.asarray(metrics["loss"])])
+
+    # ---- evaluation: all folds over the shared test split ----
+    n = len(test_ids)
+    probs = np.zeros((F, n), np.float32)
+    for s in range(0, n, bs):
+        chunk = {k: pad_to(v[s:s + bs], bs) for k, v in test_data.items()}
+        stacked = {k: np.broadcast_to(v, (F,) + v.shape).copy()
+                   for k, v in chunk.items()}
+        p, _ = fp_eval(states, jax.device_put(stacked, batch_sh))
+        probs[:, s:s + bs] = np.asarray(p)[:, :min(bs, n - s)]
+
+    results = []
+    y = test_data.get("label")
+    for k in range(F):
+        thr = (optimal_threshold_youden(y, probs[k])
+               if y is not None else 0.5)
+        pred = (probs[k] > thr).astype(int)
+        f1 = macro_f1(y, pred) if y is not None else float("nan")
+        if tsv_prefix:
+            write_prob_tsv(f"{tsv_prefix}_probs_fold_{k}.tsv", test_ids,
+                           pred, probs[k], run_id)
+            if k == 0:
+                write_label_tsv(f"{tsv_prefix}.tsv", test_ids, pred, run_id)
+        results.append({"fold": k, "macro_f1": f1, "threshold": thr,
+                        "probs": probs[k]})
+        log.info("fold %d: macro-F1 %.4f", k, f1)
+    return results
