@@ -66,10 +66,17 @@ class EncoderLayer(nn.Module):
 
 
 class TextEncoder(nn.Module):
-    """Returns last_hidden_state [B,S,H] (and pooler output on request)."""
+    """Returns last_hidden_state [B,S,H] (and pooler output on request).
+
+    ``remat=True`` rematerializes each encoder layer in the backward pass
+    (jax.checkpoint): activation memory drops from O(layers) to O(1) layers
+    at ~1/3 extra FLOPs — the HBM-for-FLOPs trade for large-batch/long-seq
+    fine-tuning.
+    """
 
     cfg: TextEncoderConfig
     attn_impl: str = "auto"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, input_ids, attention_mask,
@@ -99,8 +106,10 @@ class TextEncoder(nn.Module):
         x = nn.Dropout(c.hidden_dropout)(x, deterministic=deterministic)
 
         mask = attention_mask.astype(jnp.float32)
+        layer_cls = (nn.remat(EncoderLayer, static_argnums=(3,))
+                     if self.remat else EncoderLayer)
         for i in range(c.num_layers):
-            x = EncoderLayer(c, self.attn_impl, name=f"layer_{i}")(
+            x = layer_cls(c, self.attn_impl, name=f"layer_{i}")(
                 x, mask, deterministic)
 
         # Pooler params always exist (HF checkpoints ship them); the tanh
