@@ -125,7 +125,22 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
             dropout_key, sub = jax.random.split(dropout_key)
             state, metrics = train_step(state, put(batch), sub)
             step_count += 1
-            losses.append(float(metrics["loss"]))
+            loss_val = float(metrics["loss"])
+            if not np.isfinite(loss_val):
+                # Failure detection (SURVEY.md §5.2-5.3): the reference's only
+                # guard is a try/except tensor dump
+                # (textmodel_example_task2A.py:407-413).  Dump the offending
+                # batch + step metadata for postmortem and abort cleanly —
+                # a checkpointer-equipped run resumes from the last good save.
+                dump = f"nonfinite_step{step_count}_fold{fold}.npz"
+                np.savez(dump, **{k: np.asarray(v)
+                                  for k, v in batch.items()},
+                         grad_norm=float(metrics["grad_norm"]))
+                raise FloatingPointError(
+                    f"non-finite loss at epoch {epoch} batch {bi} "
+                    f"(grad_norm={float(metrics['grad_norm']):.3e}); "
+                    f"batch dumped to {dump}")
+            losses.append(loss_val)
             if bi % log_every == 0:
                 log.info(
                     "TRAIN | Epoch [%d] | Batch [%d/%d] | Loss: %.4f | "
