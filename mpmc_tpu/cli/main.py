@@ -159,6 +159,14 @@ def _cmd_smoke(args):
 def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(levelname)s : %(message)s")
+    try:
+        import jax
+        # Faster dropout-mask generation on TPU (measured ~20% step-time win
+        # on the flagship model); numerically a different-but-equally-random
+        # PRNG stream.
+        jax.config.update("jax_default_prng_impl", "rbg")
+    except Exception:
+        pass
     parser = argparse.ArgumentParser(prog="mpmc_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
