@@ -33,7 +33,8 @@ def extract_features(data_dir: str, file_name: str, out_file_name: str,
                      batch_size: int = 32,
                      text_vocab_path: Optional[str] = None,
                      text_params_path: Optional[str] = None,
-                     image_params_path: Optional[str] = None) -> str:
+                     image_params_path: Optional[str] = None,
+                     features_dir: Optional[str] = None) -> str:
     import jax
     import jax.numpy as jnp
     from flax import serialization
@@ -117,7 +118,7 @@ def extract_features(data_dir: str, file_name: str, out_file_name: str,
         txt_feats.append(out[:batch_size - pad or batch_size])
     txt_feats = np.concatenate(txt_feats)[:n]
 
-    out_dir = os.path.join(data_dir, "features")
+    out_dir = features_dir or os.path.join(data_dir, "features")
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, out_file_name)
     with open(out_path, "w") as f:

@@ -59,7 +59,8 @@ def _cmd_baselines(args):
 def _cmd_extract_features(args):
     from mpmc_tpu.baselines.extract_features import extract_features
     out = extract_features(args.data_dir, args.file_name, args.out_file_name,
-                           image_root=args.image_root)
+                           image_root=args.image_root,
+                           features_dir=args.features_dir)
     print(f"features written to {out}")
     return 0
 
@@ -191,6 +192,8 @@ def main(argv=None):
     p.add_argument("--file-name", "-f", required=True)
     p.add_argument("--out-file-name", "-o", required=True)
     p.add_argument("--image-root", default=None)
+    p.add_argument("--features-dir", default=None,
+                   help="override output dir (default <data-dir>/features)")
     p.set_defaults(fn=_cmd_extract_features)
 
     p = sub.add_parser("train")

@@ -72,8 +72,16 @@ def _rotate_bilinear(img: jax.Array, angle: jax.Array) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("max_rotate_deg", "use_pallas"))
 def train_augment(key: jax.Array, images_u8: jax.Array,
                   max_rotate_deg: float = 15.0,
-                  use_pallas: bool = False) -> jax.Array:
-    """Random flip + brightness + rotation + normalize, batched on device."""
+                  use_pallas: Optional[bool] = None) -> jax.Array:
+    """Random flip + brightness + rotation + normalize, batched on device.
+
+    ``use_pallas=None`` auto-selects: the fused Pallas kernel on TPU
+    (measured 2.4× the unfused XLA chain), XLA elsewhere.
+    """
+    if use_pallas is None:
+        from mpmc_tpu.ops.attention import _DEFAULT_IMPL, _on_tpu
+        use_pallas = (_DEFAULT_IMPL or
+                      ("pallas" if _on_tpu() else "xla")) == "pallas"
     B = images_u8.shape[0]
     k_flip, k_bright, k_rot = jax.random.split(key, 3)
     flip = jax.random.bernoulli(k_flip, 0.5, (B,))

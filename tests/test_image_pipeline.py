@@ -63,3 +63,23 @@ def test_pipeline_batches_shuffled_order():
     order = np.array([7, 0, 3, 1, 2, 6, 5, 4])
     got = np.concatenate([b[:n] for b, n in pipe.batches(order, 3)])
     np.testing.assert_array_equal(got, cache[order])
+
+
+def test_fused_pallas_kernel_interpret(rng):
+    """Fused normalize kernel in interpreter mode vs the jnp reference
+    (compiled-mode parity is exercised on real TPU hardware)."""
+    import jax
+    import jax.numpy as jnp
+    from mpmc_tpu.image.augment import IMAGENET_MEAN, IMAGENET_STD
+    from mpmc_tpu.ops.image_ops import fused_normalize_flip_brightness
+
+    u8 = jnp.asarray(rng.integers(0, 256, (4, 16, 16, 3)), jnp.uint8)
+    flip = jnp.asarray([1, 0, 1, 0])
+    bright = jnp.asarray([0.95, 1.05, 1.0, 0.9], jnp.float32)
+    got = fused_normalize_flip_brightness(u8, flip, bright, interpret=True)
+
+    x = np.asarray(u8, np.float32) / 255.0
+    x[flip.astype(bool)] = x[np.asarray(flip, bool)][:, :, ::-1]
+    x = np.clip(x * np.asarray(bright)[:, None, None, None], 0, 1)
+    exp = (x - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+    np.testing.assert_allclose(np.asarray(got), exp, atol=1e-5)
