@@ -60,9 +60,11 @@ def extract_features(data_dir: str, file_name: str, out_file_name: str,
         with open(image_params_path, "rb") as f:
             img_vars = serialization.from_bytes(img_vars, f.read())
 
+    # params as jit *arguments* (a closure would bake ~100MB of weights into
+    # the HLO as constants — oversized compile payloads, slower compiles)
     @jax.jit
-    def img_fwd(u8):
-        return net.apply(img_vars, eval_preprocess(u8))
+    def img_fwd(variables, u8):
+        return net.apply(variables, eval_preprocess(u8))
 
     img_feats = []
     for s in range(0, n, batch_size):
@@ -71,8 +73,8 @@ def extract_features(data_dir: str, file_name: str, out_file_name: str,
         if pad:
             chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:],
                                                     chunk.dtype)])
-        img_feats.append(np.asarray(img_fwd(jnp.asarray(chunk)))[:batch_size - pad
-                                                                 or batch_size])
+        out = np.asarray(img_fwd(img_vars, jnp.asarray(chunk)))
+        img_feats.append(out[:batch_size - pad or batch_size])
     img_feats = np.concatenate(img_feats)[:n]
 
     # ---- text branch ----
@@ -103,8 +105,8 @@ def extract_features(data_dir: str, file_name: str, out_file_name: str,
             txt_vars = serialization.from_bytes(txt_vars, f.read())
 
     @jax.jit
-    def txt_fwd(i, m):
-        _, pooled = enc.apply(txt_vars, i, m, return_pooled=True)
+    def txt_fwd(variables, i, m):
+        _, pooled = enc.apply(variables, i, m, return_pooled=True)
         return pooled
 
     txt_feats = []
@@ -114,7 +116,7 @@ def extract_features(data_dir: str, file_name: str, out_file_name: str,
         if pad:
             i = np.concatenate([i, np.zeros((pad, i.shape[1]), i.dtype)])
             m = np.concatenate([m, np.zeros((pad, m.shape[1]), m.dtype)])
-        out = np.asarray(txt_fwd(jnp.asarray(i), jnp.asarray(m)))
+        out = np.asarray(txt_fwd(txt_vars, jnp.asarray(i), jnp.asarray(m)))
         txt_feats.append(out[:batch_size - pad or batch_size])
     txt_feats = np.concatenate(txt_feats)[:n]
 

@@ -103,6 +103,8 @@ def _fwd_pallas(q, k, v, mask, scale):
                             + B * H * Sq * D * q.dtype.itemsize),
             transcendentals=B * H * Sq * Sk,
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
     )(qt, kt, vt, mask.astype(jnp.float32)[:, None, :])
     return jnp.transpose(out, (0, 2, 1, 3)), lse
 
@@ -177,6 +179,8 @@ def _bwd_pallas(scale, residuals, g):
             jax.ShapeDtypeStruct((B, H, Sk, D), k.dtype),
             jax.ShapeDtypeStruct((B, H, Sk, D), v.dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
     )(qt, kt, vt, mask_arr[:, None, :], ot, lse, dot)
     return (jnp.transpose(dq, (0, 2, 1, 3)),
             jnp.transpose(dk, (0, 2, 1, 3)),
