@@ -67,6 +67,9 @@ class TextEncoderConfig:
     pad_token_id: int = 0
     # RoBERTa-style position offset: positions start at pad_token_id+1.
     roberta_style_positions: bool = False
+    # tanh-approximate GELU: faster on the VPU than exact erf; HF BERT uses
+    # exact, so keep False when loading converted checkpoints for parity.
+    gelu_approx: bool = False
 
     @staticmethod
     def arabertv2() -> "TextEncoderConfig":

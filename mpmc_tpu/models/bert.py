@@ -59,7 +59,7 @@ class EncoderLayer(nn.Module):
             x, mask, deterministic)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="attention_ln")(x + attn)
         h = nn.Dense(c.intermediate_size, name="intermediate")(x)
-        h = nn.gelu(h, approximate=False)
+        h = nn.gelu(h, approximate=c.gelu_approx)
         h = nn.Dense(c.hidden_size, name="output")(h)
         h = nn.Dropout(c.hidden_dropout)(h, deterministic=deterministic)
         return nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_ln")(x + h)

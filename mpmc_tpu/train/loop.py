@@ -116,6 +116,8 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
     history: List[Dict] = []
     run_id = f"{cfg.team_name}_{cfg.run_id}"
     step_count = 0
+    from mpmc_tpu.utils.profiling import StepTimer
+    timer = StepTimer()
 
     for epoch in range(cfg.epochs):
         t0 = time.time()
@@ -125,6 +127,7 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
             dropout_key, sub = jax.random.split(dropout_key)
             state, metrics = train_step(state, put(batch), sub)
             step_count += 1
+            timer.tick()
             loss_val = float(metrics["loss"])
             if not np.isfinite(loss_val):
                 # Failure detection (SURVEY.md §5.2-5.3): the reference's only
@@ -174,7 +177,11 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
                     if checkpointer is not None:
                         checkpointer.save(state, step=step_count,
                                           metrics={"test_f1": best_f1})
-        log.info("TRAIN | Epoch [%d] done in %.1fs | loss %.4f", epoch,
-                 time.time() - t0, float(np.mean(losses)))
+        stats = timer.stats(batch_size=bs)
+        log.info("TRAIN | Epoch [%d] done in %.1fs | loss %.4f | "
+                 "%.1f items/s (p50 %.0f ms/step)", epoch,
+                 time.time() - t0, float(np.mean(losses)),
+                 stats.get("items_per_sec", 0.0),
+                 stats.get("step_ms_p50", 0.0))
 
     return FitResult(state, best_f1, best_thr, best_probs, history)
