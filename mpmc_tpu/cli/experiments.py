@@ -192,6 +192,7 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
         prefix = os.path.join(out_dir, f"{name}_{cfg.team_name}")
         res = fit(state, train_step, eval_step, cfg, train_d,
                   test_data=t_data, val_data=val_d, test_ids=t_ids,
+                  val_ids=[ids[i] for i in va_idx],
                   fold=k, tsv_prefix=prefix)
         results.append(res)
         prob_paths.append(f"{prefix}_probs_fold_{k}.tsv")
@@ -219,7 +220,9 @@ def run_subtask_2a(cfg: TrainConfig, out_dir: str = "outputs/2a",
         pooling=PoolingType.ATTENTION,
         text=dataclasses.replace(cfg.model.text,
                                  vocab_size=max(tok.vocab.values()) + 1))
-    cfg = dataclasses.replace(cfg, model=mcfg, loss=LossType.CROSS_ENTROPY)
+    cfg = dataclasses.replace(cfg, model=mcfg, loss=LossType.CROSS_ENTROPY,
+                              emit_threshold=0.5, emit_val_tsv=True,
+                              prob_header="propaganda_probability")
     ids_arr, mask_arr = prepare_text(combined, tok, mcfg.max_text_len)
     data = {"text_ids": ids_arr, "text_mask": mask_arr,
             "label": combined.labels}

@@ -219,5 +219,11 @@ class TrainConfig:
     use_class_weights: bool = False   # reference computes but never uses them (:137-139)
     run_id: str = "mpmc_tpu"
     team_name: str = "kevinmathew"
+    # TSV emission contract: None → ROC/Youden threshold (2C semantics,
+    # Multimodal_example_task2C.py:819-822); 0.5 → argmax (2A semantics,
+    # textmodel_example_task2A.py:533).
+    emit_threshold: Optional[float] = None
+    prob_header: str = "prob"
+    emit_val_tsv: bool = False  # 2A also dumps val-split TSVs (:464-468)
     checkpoint_dir: Optional[str] = None
     resume: bool = False

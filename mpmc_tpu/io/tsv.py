@@ -42,10 +42,15 @@ def write_label_tsv(path: str, ids: Sequence[str], labels: Sequence[int],
 
 
 def write_prob_tsv(path: str, ids: Sequence[str], labels: Sequence[int],
-                   probs: Sequence[float], run_id: str) -> None:
-    """Emit the per-fold probability TSV: ``id\tlabel\tprob\trun_id``."""
+                   probs: Sequence[float], run_id: str,
+                   prob_header: str = "prob") -> None:
+    """Emit the per-fold probability TSV: ``id\tlabel\t<prob>\trun_id``.
+
+    ``prob_header`` is "prob" for the 2C folds
+    (``Multimodal_example_task2C.py:875``) and "propaganda_probability" for
+    the 2A variant (``textmodel_example_task2A.py:549``)."""
     with open(path, "w", encoding="utf-8") as f:
-        f.write("id\tlabel\tprob\trun_id\n")
+        f.write(f"id\tlabel\t{prob_header}\trun_id\n")
         for i, y, p in zip(ids, labels, probs):
             f.write(f"{i}\t{ID2L[int(y)]}\t{float(p)}\t{run_id}\n")
 

@@ -97,6 +97,7 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
         test_data: Optional[Dict[str, np.ndarray]] = None,
         val_data: Optional[Dict[str, np.ndarray]] = None,
         test_ids: Optional[List[str]] = None,
+        val_ids: Optional[List[str]] = None,
         fold: int = 0,
         put: Callable = lambda b: b,
         tsv_prefix: Optional[str] = None,
@@ -160,20 +161,34 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
                          "Acc: %.4f | F1: %.4f | thresh: %.4f", epoch, bi,
                          steps_per_epoch, t_res.loss, t_res.accuracy,
                          t_res.macro_f1, t_res.threshold)
+                v_res = None
                 if val_data is not None:
                     v_res = run_eval(state, eval_step, val_data, bs, put)
                     log.info("  VAL | Epoch [%d] | F1: %.4f", epoch,
                              v_res.macro_f1)
                 if t_res.macro_f1 > best_f1:
                     best_f1 = t_res.macro_f1
-                    best_thr = t_res.threshold
+                    best_thr = (cfg.emit_threshold
+                                if cfg.emit_threshold is not None
+                                else t_res.threshold)
                     best_probs = t_res.probs
                     if tsv_prefix and test_ids is not None:
-                        pred = (t_res.probs > t_res.threshold).astype(int)
+                        pred = (t_res.probs > best_thr).astype(int)
                         write_label_tsv(f"{tsv_prefix}.tsv", test_ids, pred,
                                         run_id)
                         write_prob_tsv(f"{tsv_prefix}_probs_fold_{fold}.tsv",
-                                       test_ids, pred, t_res.probs, run_id)
+                                       test_ids, pred, t_res.probs, run_id,
+                                       prob_header=cfg.prob_header)
+                        if (cfg.emit_val_tsv and v_res is not None
+                                and val_ids is not None):
+                            vthr = (cfg.emit_threshold
+                                    if cfg.emit_threshold is not None
+                                    else v_res.threshold)
+                            vpred = (v_res.probs > vthr).astype(int)
+                            write_prob_tsv(
+                                f"{tsv_prefix}_val_fold_{fold}.tsv",
+                                val_ids, vpred, v_res.probs, run_id,
+                                prob_header=cfg.prob_header)
                     if checkpointer is not None:
                         checkpointer.save(state, step=step_count,
                                           metrics={"test_f1": best_f1})
