@@ -175,6 +175,10 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
                ) -> SubtaskResult:
     from mpmc_tpu.train.loop import fit
     os.makedirs(out_dir, exist_ok=True)
+    if cfg.mesh.num_fold_shards > 1:
+        return _run_folds_parallel(cfg, model_factory, kind, full_data, ids,
+                                   test_data, test_ids, out_dir, name,
+                                   augment=augment, grayscale=grayscale)
     labels = full_data["label"]
     splits = stratified_kfold(labels, cfg.data.num_folds, cfg.data.fold_seed)
     results, prob_paths = [], []
@@ -197,6 +201,62 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
         results.append(res)
         prob_paths.append(f"{prefix}_probs_fold_{k}.tsv")
         log.info("fold %d best test macro-F1: %.4f", k, res.best_macro_f1)
+    return SubtaskResult(results, prob_paths)
+
+
+def _run_folds_parallel(cfg: TrainConfig, model_factory, kind: str,
+                        full_data: Dict[str, np.ndarray], ids: List[str],
+                        test_data: Optional[Dict[str, np.ndarray]],
+                        test_ids: Optional[List[str]],
+                        out_dir: str, name: str,
+                        augment: bool = False, grayscale: bool = False
+                        ) -> SubtaskResult:
+    """All folds as one SPMD program over a (fold, data) mesh
+    (``cfg.mesh.num_fold_shards == cfg.data.num_folds``)."""
+    import jax
+    from mpmc_tpu.cv.fold_driver import fit_folds_parallel
+    from mpmc_tpu.parallel.mesh import make_mesh
+    from mpmc_tpu.train.step import (build_train_step_fn, create_train_state,
+                                     make_eval_step, make_optimizer)
+
+    if cfg.mesh.num_fold_shards != cfg.data.num_folds:
+        raise ValueError("mesh.num_fold_shards must equal data.num_folds "
+                         "for fold-parallel training")
+    n = len(full_data["label"])
+    bs = cfg.data.batch_size
+    total_steps = ((n + bs - 1) // bs) * cfg.epochs
+    tx = make_optimizer(cfg, total_steps)
+    model = model_factory()
+    apply_fn = make_apply_fn(model, kind, augment_images=augment,
+                             grayscale=grayscale)
+
+    ex = {k: v[:2] for k, v in full_data.items()}
+    if "image" in ex and ex["image"].dtype == np.uint8:
+        ex["image"] = ex["image"].astype(np.float32) / 255.0
+
+    def init_fold_state(fold):
+        key = jax.random.key(cfg.seed + fold)
+        if kind == "text":
+            variables = model.init(key, ex["text_ids"], ex["text_mask"])
+        elif kind == "image":
+            variables = model.init(key, ex["image"])
+        else:
+            variables = model.init(key, ex["text_ids"], ex["text_mask"],
+                                   ex["image"], ex.get("caption_ids"),
+                                   ex.get("caption_mask"))
+        return create_train_state(variables, tx)[0]
+
+    step_fn = build_train_step_fn(apply_fn, cfg, tx)
+    eval_fn = make_eval_step(apply_fn, cfg)
+    mesh = make_mesh(cfg.mesh)
+    t_data = test_data if test_data is not None else full_data
+    t_ids = test_ids if test_ids is not None else ids
+    prefix = os.path.join(out_dir, f"{name}_{cfg.team_name}")
+    results = fit_folds_parallel(
+        cfg, init_fold_state, step_fn, eval_fn, full_data, t_data, t_ids,
+        mesh, tsv_prefix=prefix, run_id=f"{cfg.team_name}_{cfg.run_id}")
+    prob_paths = [f"{prefix}_probs_fold_{k}.tsv"
+                  for k in range(cfg.data.num_folds)]
     return SubtaskResult(results, prob_paths)
 
 

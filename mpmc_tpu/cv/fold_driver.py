@@ -62,7 +62,7 @@ def fit_folds_parallel(cfg: TrainConfig, init_fold_state: Callable,
     states = jax.device_put(states, fold_sh)
 
     train_idx = [tr for tr, _ in splits]
-    steps_per_epoch = max(len(t) for t in train_idx) // bs
+    steps_per_epoch = max(max(len(t) for t in train_idx) // bs, 1)
     rngs = [np.random.default_rng(cfg.seed + k) for k in range(F)]
     key = jax.random.key(cfg.seed)
 

@@ -60,3 +60,23 @@ def test_fold_parallel_two_folds(rng, tmp_path):
     assert os.path.exists(f"{prefix}_probs_fold_1.tsv")
     from mpmc_tpu.io.tsv import check_format
     assert check_format(f"{prefix}.tsv")
+
+
+def test_driver_fold_parallel_2a(rng, tmp_path):
+    """run_subtask_2a in fold-parallel mode on the (2,4) CPU mesh, real data."""
+    from mpmc_tpu.cli.experiments import run_subtask_2a
+    from mpmc_tpu.config import ModelConfig
+
+    cfg = TrainConfig(
+        model=ModelConfig.tiny_2c(),
+        data=DataConfig(
+            train_manifest="/root/reference/data/arabic_memes_propaganda_araieval_24_train.json",
+            dev_manifest="/root/reference/data/arabic_memes_propaganda_araieval_24_dev.json",
+            batch_size=16, num_folds=2, fold_over_train_plus_dev=True),
+        mesh=MeshConfig(num_fold_shards=2),
+        epochs=1, learning_rate=1e-3)
+    res = run_subtask_2a(cfg, out_dir=str(tmp_path))
+    assert len(res.fold_results) == 2
+    import os
+    for k in range(2):
+        assert os.path.exists(str(tmp_path / f"task2A_kevinmathew_probs_fold_{k}.tsv"))
