@@ -88,6 +88,76 @@ def _cmd_train(args):
     return 0
 
 
+def _cmd_predict(args):
+    """Inference-only path: restore a checkpoint (optional), run a manifest
+    through the subtask model, emit a submission TSV."""
+    import numpy as np
+    from mpmc_tpu.cli.experiments import (build_tokenizer, make_apply_fn,
+                                          prepare_images, prepare_text,
+                                          _init_and_steps)
+    from mpmc_tpu.config import DataConfig, ModelConfig, TrainConfig
+    from mpmc_tpu.io.manifest import read_manifest
+    from mpmc_tpu.io.tsv import write_label_tsv, write_prob_tsv
+    from mpmc_tpu.train.loop import batch_iter
+
+    manifest = read_manifest(args.manifest, is_test=True)
+    model_cfg = ModelConfig.tiny_2c() if args.tiny else ModelConfig()
+    cfg = TrainConfig(model=model_cfg,
+                      data=DataConfig(batch_size=args.batch_size),
+                      checkpoint_dir=args.checkpoint, resume=bool(args.checkpoint))
+
+    data = {}
+    if args.subtask in ("2a", "2c"):
+        tok = build_tokenizer(manifest.texts, args.vocab)
+        import dataclasses
+        model_cfg = dataclasses.replace(
+            model_cfg, text=dataclasses.replace(
+                model_cfg.text, vocab_size=max(tok.vocab.values()) + 1))
+        cfg = dataclasses.replace(cfg, model=model_cfg)
+        ids_arr, mask_arr = prepare_text(manifest, tok,
+                                         model_cfg.max_text_len)
+        data["text_ids"], data["text_mask"] = ids_arr, mask_arr
+    if args.subtask in ("2b", "2c"):
+        imgs = prepare_images(manifest, args.image_root,
+                              model_cfg.image.image_size)
+        data["image"] = imgs.astype(np.float32) / 255.0
+    if args.subtask == "2c" and model_cfg.caption is not None:
+        from mpmc_tpu.cli.experiments import prepare_captions
+        cap_tok = build_tokenizer(["a meme of"], None)
+        data["caption_ids"], data["caption_mask"] = prepare_captions(
+            manifest, (data["image"] * 255).astype(np.uint8),
+            cfg.data.cache_dir, cap_tok, model_cfg.max_caption_len)
+
+    kind = {"2a": "text", "2b": "image", "2c": "multimodal"}[args.subtask]
+    from mpmc_tpu.models import (ImageClassifier, MultimodalClassifier,
+                                 TextClassifier)
+    import dataclasses
+    if kind == "text":
+        model = TextClassifier(dataclasses.replace(model_cfg, num_classes=2))
+    elif kind == "image":
+        model = ImageClassifier(dataclasses.replace(model_cfg, num_classes=2))
+    else:
+        model = MultimodalClassifier(model_cfg)
+    dummy_labels = dict(data, label=np.zeros(len(manifest), np.int32))
+    state, _, eval_step = _init_and_steps(model, cfg, dummy_labels, kind)
+    if args.checkpoint:
+        from mpmc_tpu.train.checkpoint import Checkpointer
+        state = Checkpointer(args.checkpoint).restore_latest(state)
+
+    probs = []
+    for batch, n_valid in batch_iter(data, cfg.data.batch_size):
+        p, _ = eval_step(state, batch)
+        probs.append(np.asarray(p)[:n_valid])
+    probs = np.concatenate(probs)
+    pred = (probs > args.threshold).astype(int)
+    write_label_tsv(args.out, manifest.ids, pred, args.run_id)
+    if args.probs_out:
+        write_prob_tsv(args.probs_out, manifest.ids, pred, probs,
+                       args.run_id)
+    print(f"wrote {args.out} ({len(manifest)} predictions)")
+    return 0
+
+
 def _cmd_combine(args):
     from mpmc_tpu.cv.ensemble import (average_probability, majority_voting,
                                       threshold_optimization)
@@ -212,6 +282,20 @@ def main(argv=None):
     p.add_argument("--tiny", action="store_true",
                    help="tiny model config (smoke/CI)")
     p.set_defaults(fn=_cmd_train)
+
+    p = sub.add_parser("predict")
+    p.add_argument("--subtask", choices=["2a", "2b", "2c"], required=True)
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--probs-out", default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--image-root", default=".")
+    p.add_argument("--vocab", default=None)
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--run-id", default="mpmc_tpu")
+    p.add_argument("--tiny", action="store_true")
+    p.set_defaults(fn=_cmd_predict)
 
     p = sub.add_parser("combine")
     p.add_argument("--files", nargs="+", required=True)
