@@ -160,7 +160,8 @@ def precompute_captions(img_paths: Sequence[str], images_u8: np.ndarray,
                         prompt: str = "a meme of",
                         prompt_ids: Optional[np.ndarray] = None,
                         cache_dir: Optional[str] = None,
-                        batch_size: int = 64) -> List[str]:
+                        batch_size: int = 64,
+                        generate_fn: Optional[Callable] = None) -> List[str]:
     """Caption every image once, with a JSON disk cache keyed by path
     (reference batches of 64, ``Multimodal_example_task2C.py:241-256``)."""
     cache_path = None
@@ -176,7 +177,13 @@ def precompute_captions(img_paths: Sequence[str], images_u8: np.ndarray,
             if all(p in cache for p in img_paths):
                 return [cache[p] for p in img_paths]
 
-    if captioner is None:
+    if generate_fn is not None:
+        # e.g. a converted-weights BlipCaptioner (mpmc_tpu.models.blip):
+        # generate_fn(images_u8 [b,H,W,C]) -> list[str] captions
+        caps = []
+        for s in range(0, len(img_paths), batch_size):
+            caps.extend(generate_fn(images_u8[s:s + batch_size]))
+    elif captioner is None:
         # no model: deterministic placeholder captions (documented above)
         caps = [f"{prompt} {hashlib.sha256(p.encode()).hexdigest()[:8]}"
                 for p in img_paths]

@@ -1,0 +1,92 @@
+"""BLIP captioner: logits + greedy-generate parity with HF
+BlipForConditionalGeneration (random tiny config — the same conversion path
+real blip-image-captioning-large checkpoints take)."""
+
+import numpy as np
+import pytest
+import torch
+
+from mpmc_tpu.models.blip import (BlipCaptioner, BlipConfig,
+                                  convert_blip_state_dict)
+
+
+@pytest.fixture(scope="module")
+def hf_blip():
+    from transformers import (BlipConfig as HFBlipConfig,
+                              BlipForConditionalGeneration, BlipTextConfig,
+                              BlipVisionConfig)
+    cfg = BlipConfig.tiny()
+    hf_cfg = HFBlipConfig(
+        text_config=BlipTextConfig(
+            vocab_size=cfg.vocab_size, hidden_size=cfg.t_hidden,
+            num_hidden_layers=cfg.t_layers, num_attention_heads=cfg.t_heads,
+            intermediate_size=cfg.t_mlp,
+            max_position_embeddings=cfg.max_positions,
+            encoder_hidden_size=cfg.v_hidden,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+            bos_token_id=cfg.bos_token_id, eos_token_id=cfg.eos_token_id,
+            pad_token_id=cfg.pad_token_id, sep_token_id=cfg.eos_token_id,
+        ).to_dict(),
+        vision_config=BlipVisionConfig(
+            hidden_size=cfg.v_hidden, num_hidden_layers=cfg.v_layers,
+            num_attention_heads=cfg.v_heads, intermediate_size=cfg.v_mlp,
+            image_size=cfg.image_size, patch_size=cfg.patch_size,
+            attention_dropout=0.0,
+        ).to_dict(),
+    )
+    torch.manual_seed(0)
+    model = BlipForConditionalGeneration(hf_cfg).eval()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = convert_blip_state_dict(sd, cfg)
+    return model, cfg, params
+
+
+def test_blip_logits_parity(hf_blip, rng):
+    model, cfg, params = hf_blip
+    B, S = 2, 7
+    pixels = rng.standard_normal(
+        (B, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    ids = rng.integers(3, cfg.vocab_size, (B, S)).astype(np.int32)
+    ids[:, 0] = cfg.bos_token_id
+
+    ours = BlipCaptioner(cfg).apply({"params": params},
+                                    pixels, ids)
+    with torch.no_grad():
+        ref = model(pixel_values=torch.tensor(
+                        np.transpose(pixels, (0, 3, 1, 2))),
+                    input_ids=torch.tensor(ids, dtype=torch.long),
+                    attention_mask=torch.ones(B, S, dtype=torch.long))
+    np.testing.assert_allclose(np.asarray(ours), ref.logits.numpy(),
+                               atol=5e-4)
+
+
+def test_blip_generate_parity(hf_blip, rng):
+    model, cfg, params = hf_blip
+    B = 2
+    pixels = rng.standard_normal(
+        (B, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    prompt = np.full((B, 2), cfg.bos_token_id, dtype=np.int32)
+    prompt[:, 1] = 5  # conditional prompt token ("a meme of"-style)
+
+    ours = np.asarray(BlipCaptioner(cfg).apply(
+        {"params": params}, pixels, prompt, max_len=10,
+        method=BlipCaptioner.generate))
+
+    # HF BLIP's generate() drops the LAST prompt token (the tokenizer's
+    # trailing [SEP]); append a sacrificial token to feed it the same prompt.
+    hf_prompt = np.concatenate(
+        [prompt, np.full((B, 1), cfg.eos_token_id, np.int32)], axis=1)
+    with torch.no_grad():
+        ref = model.generate(
+            pixel_values=torch.tensor(np.transpose(pixels, (0, 3, 1, 2))),
+            input_ids=torch.tensor(hf_prompt, dtype=torch.long),
+            max_length=10, do_sample=False, num_beams=1).numpy()
+
+    for b in range(B):
+        r = ref[b]
+        o = ours[b]
+        # compare up to and including EOS (ours pads with pad_id after EOS)
+        for pos in range(min(len(r), len(o))):
+            assert o[pos] == r[pos], (b, pos, o.tolist(), r.tolist())
+            if r[pos] == cfg.eos_token_id and pos >= prompt.shape[1]:
+                break
