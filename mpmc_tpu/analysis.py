@@ -12,7 +12,7 @@ among misclassified samples, and eyeball individual memes.  Library versions:
 from __future__ import annotations
 
 from collections import Counter
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

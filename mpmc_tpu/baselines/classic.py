@@ -25,11 +25,11 @@ from __future__ import annotations
 import json
 import logging
 import random
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
-from mpmc_tpu.io.manifest import ID2L, L2ID, Manifest, read_manifest
+from mpmc_tpu.io.manifest import Manifest, read_manifest
 from mpmc_tpu.io.scorer import evaluate
 from mpmc_tpu.io.tsv import check_format, write_label_tsv
 

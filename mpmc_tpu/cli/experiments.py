@@ -25,7 +25,7 @@ from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from mpmc_tpu.config import (LossType, ModelConfig, PoolingType, Subtask,
+from mpmc_tpu.config import (LossType, PoolingType, Subtask,
                              TrainConfig)
 from mpmc_tpu.cv.kfold import stratified_kfold
 from mpmc_tpu.io.manifest import Manifest, read_manifest
@@ -317,8 +317,6 @@ def run_subtask_2c(cfg: TrainConfig, out_dir: str = "outputs/2c",
     """Flagship multimodal 5-fold over train, dev as test split, focal loss
     (reference Multimodal_example_task2C.py setup())."""
     from mpmc_tpu.models import MultimodalClassifier
-    from mpmc_tpu.text.bpe import ByteLevelBPETokenizer  # noqa: F401
-
     train = read_manifest(cfg.data.train_manifest)
     dev = read_manifest(cfg.data.dev_manifest)
     tok = build_tokenizer([preprocess_arabic_tweet(t) for t in train.texts],

@@ -13,7 +13,7 @@ Operates on plain dicts/arrays (no pandas dependency in the core path).
 from __future__ import annotations
 
 from collections import Counter
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import os
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

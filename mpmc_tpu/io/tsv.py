@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import logging
 import re
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

@@ -21,7 +21,7 @@ from-scratch training; this module is the drop-in for converted BLIP weights.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

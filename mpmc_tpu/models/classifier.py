@@ -19,11 +19,9 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
-from mpmc_tpu.config import (FusionMethod, ImageEncoderConfig, ModelConfig,
-                             PoolingType)
+from mpmc_tpu.config import ImageEncoderConfig, ModelConfig
 from mpmc_tpu.models.bert import TextEncoder
 from mpmc_tpu.models.convnext import ConvNeXt
 from mpmc_tpu.models.efficientnet import EfficientNet

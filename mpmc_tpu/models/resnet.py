@@ -16,7 +16,7 @@ reference's ``CustomDenseNet161`` wrapper, ``:569-570``).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

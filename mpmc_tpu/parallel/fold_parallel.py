@@ -13,7 +13,7 @@ communication between folds.
 
 from __future__ import annotations
 
-from typing import Callable, Dict
+from typing import Callable
 
 import jax
 import numpy as np

@@ -17,7 +17,6 @@ mesh the batch arrives sharded and XLA inserts the gradient all-reduce
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

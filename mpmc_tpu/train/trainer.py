@@ -11,14 +11,12 @@ full state (SURVEY.md §5.4).
 
 from __future__ import annotations
 
-import dataclasses
 import logging
 from typing import Callable, Dict, Optional
 
 import numpy as np
 
 from mpmc_tpu.config import TrainConfig
-from mpmc_tpu.io.scorer import accuracy_score, macro_f1
 from mpmc_tpu.train.loop import EvalResult, batch_iter, fit, run_eval
 from mpmc_tpu.train.step import (create_train_state, make_eval_step,
                                  make_optimizer, make_train_step)
