@@ -76,7 +76,12 @@ def _cmd_train(args):
                       batch_size=args.batch_size,
                       num_folds=args.num_folds,
                       fold_over_train_plus_dev=(args.subtask == "2a"))
-    model = ModelConfig.tiny_2c() if args.tiny else ModelConfig()
+    if args.small and args.subtask == "2a":
+        model = ModelConfig.small_2a()
+    elif args.tiny:
+        model = ModelConfig.tiny_2c()
+    else:
+        model = ModelConfig()
     cfg = TrainConfig(model=model, data=data, epochs=args.epochs,
                       learning_rate=args.lr)
     folds = [args.fold] if args.fold is not None else None
@@ -281,6 +286,9 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--tiny", action="store_true",
                    help="tiny model config (smoke/CI)")
+    p.add_argument("--small", action="store_true",
+                   help="from-scratch small config (2A: beats the n-gram "
+                        "baseline without pretrained weights)")
     p.set_defaults(fn=_cmd_train)
 
     p = sub.add_parser("predict")

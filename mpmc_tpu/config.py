@@ -140,6 +140,20 @@ class ModelConfig:
     max_caption_len: int = 512
 
     @staticmethod
+    def small_2a() -> "ModelConfig":
+        """From-scratch small text config (no pretrained weights needed):
+        10-fold × 20 epochs at lr 3e-4 / bs 32 reaches mean dev-fold
+        macro-F1 0.655 on real ArAIEval text — beating the published n-gram
+        SVM baseline (0.579) in every fold (see STATUS.md)."""
+        return ModelConfig(
+            subtask=Subtask.A,
+            text=TextEncoderConfig(vocab_size=512, hidden_size=128,
+                                   num_layers=4, num_heads=4,
+                                   intermediate_size=256,
+                                   max_position_embeddings=128),
+            caption=None, image=None, num_classes=2, max_text_len=64)
+
+    @staticmethod
     def clip_style_2c() -> "ModelConfig":
         """Working CLIP-style dual-encoder 2C config — ViT-B/32 image trunk +
         BERT text encoder + fusion head (the reference's CLIP attempt,
