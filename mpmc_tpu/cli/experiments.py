@@ -249,6 +249,9 @@ def _run_folds_parallel(cfg: TrainConfig, model_factory, kind: str,
     step_fn = build_train_step_fn(apply_fn, cfg, tx)
     eval_fn = make_eval_step(apply_fn, cfg)
     mesh = make_mesh(cfg.mesh)
+    # All folds evaluate a single shared split (the 2C dev-set pattern).
+    # Without a test split this falls back to the full data — per-fold
+    # held-out scores then require the sequential driver.
     t_data = test_data if test_data is not None else full_data
     t_ids = test_ids if test_ids is not None else ids
     prefix = os.path.join(out_dir, f"{name}_{cfg.team_name}")
