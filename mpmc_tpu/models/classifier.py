@@ -154,7 +154,8 @@ class MultimodalClassifier(nn.Module):
                 cap_hidden[:, 0], train)
             feats.append(cap_feat)
 
-        fusion = make_fusion(c.fusion, c.proj_dim, len(feats))
+        fusion = make_fusion(c.fusion, c.proj_dim, len(feats),
+                             feat_dims=[f.shape[-1] for f in feats])
         fused = fusion(*feats, train=train)
 
         logit = nn.Dense(1, name="output_fc")(fused)

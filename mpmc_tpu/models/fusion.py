@@ -159,14 +159,25 @@ class SelfAttentionFusion(nn.Module):
         return nn.BatchNorm(use_running_average=not train, name="bn")(combined)
 
 
-def make_fusion(method: FusionMethod, proj_dim: int, n_modalities: int) -> nn.Module:
+def make_fusion(method: FusionMethod, proj_dim: int, n_modalities: int,
+                feat_dims=None) -> nn.Module:
     """Mirror of the reference's fusion selection
-    (``Multimodal_example_task2C.py:617-630``)."""
+    (``Multimodal_example_task2C.py:617-630``).
+
+    ``feat_dims`` (actual per-modality widths) lets the concat gate handle a
+    non-uniform image-branch width (``ImageEncoderConfig.finetune_dim`` ≠
+    ``proj_dim``); the attention-style fusions require uniform widths.
+    """
     method = FusionMethod(method)
+    dims = list(feat_dims) if feat_dims else [proj_dim] * n_modalities
     if method == FusionMethod.CONCATENATION:
         if n_modalities == 3:
-            return ConcatAttention3(3 * proj_dim, proj_dim)
-        return ConcatAttention(2 * proj_dim, proj_dim)
+            return ConcatAttention3(sum(dims), proj_dim)
+        return ConcatAttention(sum(dims), proj_dim)
+    if len(set(dims)) > 1:
+        raise ValueError(
+            f"{method.value} fusion requires equal modality widths, got "
+            f"{dims} — set ImageEncoderConfig.finetune_dim == proj_dim")
     if method == FusionMethod.MCA:
         return MCA3(proj_dim) if n_modalities == 3 else MCA(proj_dim)
     if method == FusionMethod.CROSS_MODAL:
