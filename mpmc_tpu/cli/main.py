@@ -175,10 +175,10 @@ def _cmd_combine(args):
         folds.append(dict(zip(ids, probs)))
     gold = read_gold(args.gold)
     avg = average_probability(folds)
-    labels, thr, f1 = threshold_optimization(avg, gold)
+    labels, thr, f1 = threshold_optimization(avg, gold, metric=args.metric)
     mv = majority_voting(folds)
     agree = sum(labels[i] == mv[i] for i in labels) / len(labels)
-    print(f"avg-prob + threshold {thr:.3f}: binary-F1 {f1:.4f} "
+    print(f"avg-prob + threshold {thr:.3f}: {args.metric}-F1 {f1:.4f} "
           f"(majority-vote agreement {agree:.1%})")
     if args.out:
         ids = list(labels)
@@ -309,6 +309,8 @@ def main(argv=None):
     p.add_argument("--files", nargs="+", required=True)
     p.add_argument("--gold", required=True)
     p.add_argument("--out", default=None)
+    p.add_argument("--metric", choices=["binary", "macro"], default="binary",
+                   help="threshold-scan objective (binary = reference parity)")
     p.set_defaults(fn=_cmd_combine)
 
     p = sub.add_parser("smoke")

@@ -42,13 +42,26 @@ def average_probability(folds: Sequence[FoldPreds]) -> FoldPreds:
 
 
 def threshold_optimization(preds: FoldPreds, gold: Dict[str, str],
-                           num: int = 100
+                           num: int = 100, metric: str = "binary"
                            ) -> Tuple[Dict[str, str], float, float]:
-    """Returns (labels, optimal_threshold, best_binary_f1)."""
+    """Returns (labels, optimal_threshold, best_f1).
+
+    ``metric='binary'`` reproduces the reference exactly (positive-class F1,
+    combine_preds.py:35) — note it degenerates toward all-positive labels
+    when fold probabilities are weak.  ``metric='macro'`` optimizes the
+    official task metric instead.
+    """
+    from mpmc_tpu.io.scorer import macro_f1
     ids = list(preds.keys())
     y_true = np.array([1 if gold[i] == "propaganda" else 0 for i in ids])
     y_prob = np.array([preds[i] for i in ids])
-    thr, f1 = threshold_scan(y_true, y_prob, num)
+    if metric == "binary":
+        thr, f1 = threshold_scan(y_true, y_prob, num)
+    else:
+        ts = np.linspace(0, 1, num)
+        scores = [macro_f1(y_true, (y_prob > t).astype(int)) for t in ts]
+        best = int(np.argmax(scores))
+        thr, f1 = float(ts[best]), float(scores[best])
     labels = {i: ("propaganda" if preds[i] > thr else "not_propaganda")
               for i in ids}
     return labels, thr, f1
