@@ -78,3 +78,19 @@ def test_threshold_optimization_on_shipped_folds(fold_preds):
     p = np.array([1 if labels[i] == "propaganda" else 0 for i in ids])
     score = macro_f1(y, p)
     assert score > 0.695  # beats the strongest README baseline (2C SVM)
+
+
+def test_threshold_optimization_macro_metric(fold_preds):
+    """metric='macro' optimizes the official metric; on weak probabilities it
+    must not collapse to the all-positive degenerate solution the binary scan
+    can pick."""
+    gold = read_gold(DEV)
+    avg = average_probability(fold_preds)
+    labels_b, thr_b, f1_b = threshold_optimization(avg, gold, metric="binary")
+    labels_m, thr_m, f1_m = threshold_optimization(avg, gold, metric="macro")
+    ids = list(labels_m)
+    y = np.array([1 if gold[i] == "propaganda" else 0 for i in ids])
+    pm = np.array([1 if labels_m[i] == "propaganda" else 0 for i in ids])
+    pb = np.array([1 if labels_b[i] == "propaganda" else 0 for i in ids])
+    assert macro_f1(y, pm) >= macro_f1(y, pb) - 1e-9
+    assert f1_m == pytest.approx(macro_f1(y, pm))
