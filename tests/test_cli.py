@@ -1,0 +1,67 @@
+"""CLI surface: each subcommand through main() in-process."""
+
+import numpy as np
+import pytest
+
+from mpmc_tpu.cli.main import main
+from mpmc_tpu.io.manifest import read_manifest
+from mpmc_tpu.io.tsv import write_label_tsv, write_prob_tsv
+
+DEV = "/root/reference/data/arabic_memes_propaganda_araieval_24_dev.json"
+TRAIN = "/root/reference/data/arabic_memes_propaganda_araieval_24_train.json"
+FOLD_TSVS = [f"/root/reference/task2C_kevinmathew_probs_fold_{i}.tsv"
+             for i in range(5)]
+
+
+@pytest.fixture
+def pred_tsv(tmp_path):
+    m = read_manifest(DEV)
+    path = str(tmp_path / "p.tsv")
+    write_label_tsv(path, m.ids, np.zeros(len(m), int), "cli-test")
+    return path
+
+
+def test_cli_check(pred_tsv, capsys):
+    assert main(["check", "-p", pred_tsv]) == 0
+    assert "OK" in capsys.readouterr().out
+
+
+def test_cli_check_bad(tmp_path, capsys):
+    bad = tmp_path / "bad.tsv"
+    bad.write_text("id\tlabel\trun\nx\tnope\tr\n")
+    assert main(["check", "-p", str(bad)]) == 1
+
+
+def test_cli_score(pred_tsv, capsys):
+    assert main(["score", "-g", DEV, "-p", pred_tsv]) == 0
+    out = capsys.readouterr().out
+    assert "F1:0.417910447761194" in out  # majority baseline, README.md:147
+
+
+def test_cli_combine(tmp_path, capsys):
+    out = str(tmp_path / "ens.tsv")
+    assert main(["combine", "--files", *FOLD_TSVS, "--gold", DEV,
+                 "--out", out, "--metric", "macro"]) == 0
+    assert main(["score", "-g", DEV, "-p", out]) == 0
+    f1 = float(capsys.readouterr().out.rsplit("F1:", 1)[1])
+    assert f1 > 0.695  # ensemble of shipped folds beats every baseline
+
+
+def test_cli_predict_2a(tmp_path, capsys):
+    out = str(tmp_path / "pred.tsv")
+    probs = str(tmp_path / "probs.tsv")
+    assert main(["predict", "--subtask", "2a", "--tiny",
+                 "--manifest", DEV, "--out", out,
+                 "--probs-out", probs]) == 0
+    assert main(["check", "-p", out]) == 0
+    ids, _, p = __import__("mpmc_tpu.io.tsv", fromlist=["x"]
+                           ).read_prob_predictions(probs)
+    assert len(ids) == 312 and np.all((p >= 0) & (p <= 1))
+
+
+def test_cli_baselines_2a(tmp_path, capsys):
+    assert main(["baselines", "--subtask", "2a", "-tr", TRAIN, "-te", DEV,
+                 "-o", str(tmp_path)]) == 0
+    out = capsys.readouterr().out
+    assert "majority: acc=0.718 macro-F1=0.418" in out
+    assert "ngram: acc=0.740 macro-F1=0.579" in out
