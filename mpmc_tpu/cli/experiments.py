@@ -181,6 +181,24 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
                                    augment=augment, grayscale=grayscale)
     labels = full_data["label"]
     splits = stratified_kfold(labels, cfg.data.num_folds, cfg.data.fold_seed)
+    # Plain data parallelism (SURVEY.md §2.3): batch sharded over the `data`
+    # mesh axis, params replicated; the prefetch thread in train.loop runs
+    # `put` so the sharded H2D copy overlaps the previous step's compute.
+    put, place_state = (lambda b: b), (lambda s: s)
+    if cfg.mesh.num_fold_shards <= 1 and cfg.mesh.num_data_shards > 1:
+        import jax
+        from mpmc_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                            replicated_sharding)
+        if cfg.data.batch_size % cfg.mesh.num_data_shards:
+            raise ValueError(
+                f"batch_size={cfg.data.batch_size} not divisible by "
+                f"num_data_shards={cfg.mesh.num_data_shards}")
+        dp_mesh = make_mesh(cfg.mesh)
+        bsh = batch_sharding(dp_mesh, cfg.mesh.data_axis)
+        repl = replicated_sharding(dp_mesh)
+        put = lambda b: jax.tree_util.tree_map(  # noqa: E731
+            lambda x: jax.device_put(x, bsh), b)
+        place_state = lambda s: jax.device_put(s, repl)  # noqa: E731
     results, prob_paths = [], []
     for k, (tr_idx, va_idx) in enumerate(splits):
         if folds is not None and k not in folds:
@@ -193,11 +211,12 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
         model = model_factory()
         state, train_step, eval_step = _init_and_steps(
             model, cfg, train_d, kind, augment=augment, grayscale=grayscale)
+        state = place_state(state)
         prefix = os.path.join(out_dir, f"{name}_{cfg.team_name}")
         res = fit(state, train_step, eval_step, cfg, train_d,
                   test_data=t_data, val_data=val_d, test_ids=t_ids,
                   val_ids=[ids[i] for i in va_idx],
-                  fold=k, tsv_prefix=prefix)
+                  fold=k, tsv_prefix=prefix, put=put)
         results.append(res)
         prob_paths.append(f"{prefix}_probs_fold_{k}.tsv")
         log.info("fold %d best test macro-F1: %.4f", k, res.best_macro_f1)

@@ -207,6 +207,11 @@ class MeshConfig:
     data_axis: str = "data"
     fold_axis: str = "fold"
     num_fold_shards: int = 1          # >1 enables fold-parallel training
+    # >1 shards each batch over `data` for plain data-parallel training in
+    # the sequential fold driver (params replicated, gradients psum'd by
+    # XLA's SPMD partitioner).  Ignored when num_fold_shards > 1 (the fold-
+    # parallel mesh derives its data extent from the device count).
+    num_data_shards: int = 1
 
     def axis_names(self) -> Tuple[str, ...]:
         if self.num_fold_shards > 1:

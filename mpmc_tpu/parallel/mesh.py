@@ -35,6 +35,12 @@ def make_mesh(cfg: Optional[MeshConfig] = None,
                 f"{n} devices not divisible by {cfg.num_fold_shards} folds")
         shape = (cfg.num_fold_shards, n // cfg.num_fold_shards)
         return Mesh(np.asarray(devices).reshape(shape), cfg.axis_names())
+    if cfg.num_data_shards > 1:
+        if n < cfg.num_data_shards:
+            raise ValueError(
+                f"{n} devices < num_data_shards={cfg.num_data_shards}")
+        devices = devices[:cfg.num_data_shards]
+        n = cfg.num_data_shards
     return Mesh(np.asarray(devices).reshape(n), (cfg.data_axis,))
 
 

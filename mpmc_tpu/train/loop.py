@@ -39,17 +39,65 @@ def pad_to(arr: np.ndarray, size: int) -> np.ndarray:
 def batch_iter(data: Dict[str, np.ndarray], batch_size: int,
                shuffle: bool = False,
                rng: Optional[np.random.Generator] = None,
+               with_valid: bool = False,
                ) -> Iterator[Tuple[Dict[str, np.ndarray], int]]:
     """Yield (batch, n_valid) with every batch padded to ``batch_size``
-    (static shapes → one compilation)."""
+    (static shapes → one compilation).
+
+    The short final batch is padded by *replicating* real samples
+    (wrap-around over the epoch's index order) rather than zero rows, so
+    BatchNorm batch_stats never see fake all-zero inputs.  With
+    ``with_valid`` the batch additionally carries a float32 ``valid`` [B]
+    mask so the train step can exclude the replicated rows from the loss
+    (the reference simply runs a smaller final batch,
+    ``Multimodal_example_task2C.py:154-162``)."""
     n = len(next(iter(data.values())))
     idx = np.arange(n)
     if shuffle:
         (rng or np.random.default_rng()).shuffle(idx)
     for start in range(0, n, batch_size):
         take = idx[start:start + batch_size]
-        batch = {k: pad_to(v[take], batch_size) for k, v in data.items()}
+        full = (np.concatenate([take, np.resize(idx, batch_size - len(take))])
+                if len(take) < batch_size else take)
+        batch = {k: v[full] for k, v in data.items()}
+        if with_valid:
+            batch["valid"] = (np.arange(batch_size)
+                              < len(take)).astype(np.float32)
         yield batch, len(take)
+
+
+def prefetch_batches(it: Iterator[Tuple[Dict[str, np.ndarray], int]],
+                     put: Callable = lambda b: b, depth: int = 2,
+                     ) -> Iterator[Tuple[object, Dict[str, np.ndarray], int]]:
+    """Device-side double buffering: run ``put`` (typically a sharded
+    ``jax.device_put``) on a background thread ``depth`` batches ahead, so
+    host→device copies overlap the previous step's compute.  The reference
+    pays this copy synchronously per step (``Multimodal_example_task2C.py:
+    703-708``).  Yields ``(device_batch, host_batch, n_valid)`` — the host
+    batch is kept for failure-dump postmortems."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+    STOP = object()
+    errs: List[BaseException] = []
+
+    def producer():
+        try:
+            for batch, n_valid in it:
+                q.put((put(batch), batch, n_valid))
+        except BaseException as e:  # surface on the consumer thread
+            errs.append(e)
+        q.put(STOP)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is STOP:
+            break
+        yield item
+    if errs:
+        raise errs[0]
 
 
 @dataclasses.dataclass
@@ -65,14 +113,16 @@ def run_eval(state, eval_step, data: Dict[str, np.ndarray],
              batch_size: int, put: Callable = lambda b: b) -> EvalResult:
     """Full pass → sigmoid probs → ROC/Youden threshold → acc + macro-F1
     (reference ``test()``, :779-834)."""
-    probs_parts: List[np.ndarray] = []
-    loss_parts: List[np.ndarray] = []
-    for batch, n_valid in batch_iter(data, batch_size):
-        p, l = eval_step(state, put(batch))
-        probs_parts.append(np.asarray(p)[:n_valid])
-        loss_parts.append(np.asarray(l)[:n_valid])
-    probs = np.concatenate(probs_parts)
-    losses = np.concatenate(loss_parts)
+    parts: List[Tuple[object, object, int]] = []
+    for dev_batch, _, n_valid in prefetch_batches(
+            batch_iter(data, batch_size), put):
+        p, l = eval_step(state, dev_batch)
+        parts.append((p, l, n_valid))  # defer host sync: keep dispatch full
+    fetched = jax.device_get([(p, l) for p, l, _ in parts])
+    probs = np.concatenate(
+        [np.asarray(p)[:n] for (p, _), (_, _, n) in zip(fetched, parts)])
+    losses = np.concatenate(
+        [np.asarray(l)[:n] for (_, l), (_, _, n) in zip(fetched, parts)])
     labels = data.get("label")
     if labels is None:
         return EvalResult(float("nan"), float("nan"), float("nan"), 0.5, probs)
@@ -120,39 +170,61 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
     from mpmc_tpu.utils.profiling import StepTimer
     timer = StepTimer()
 
+    # Metric fetches are batched per logging window instead of per step:
+    # a per-step float(metrics["loss"]) blocks async dispatch and costs one
+    # host round-trip per step (~40 ms over a tunneled link).  Device
+    # metrics accumulate in `pending` and are pulled in one device_get at
+    # log/eval boundaries; the non-finite failure check (SURVEY.md §5.2-5.3,
+    # replacing the reference's try/except tensor dump,
+    # textmodel_example_task2A.py:407-413) rides the same cadence — the
+    # offending host batch is retained for the postmortem dump.
+    pending: List[Tuple[int, int, Dict, Dict[str, np.ndarray]]] = []
+    last_grad_norm = 0.0
+    losses: List[float] = []
+
+    def flush_metrics():
+        nonlocal last_grad_norm
+        if not pending:
+            return
+        fetched = jax.device_get([p[2] for p in pending])
+        for (ep, bi_, _, host_batch), m in zip(pending, fetched):
+            loss_val = float(m["loss"])
+            gnorm = float(m["grad_norm"])
+            if not np.isfinite(loss_val):
+                dump = f"nonfinite_fold{fold}_epoch{ep}_batch{bi_}.npz"
+                np.savez(dump, **{k: np.asarray(v)
+                                  for k, v in host_batch.items()},
+                         grad_norm=gnorm)
+                pending.clear()
+                raise FloatingPointError(
+                    f"non-finite loss at epoch {ep} batch {bi_} "
+                    f"(grad_norm={gnorm:.3e}); batch dumped to {dump}")
+            losses.append(loss_val)
+            last_grad_norm = gnorm
+        pending.clear()
+
     for epoch in range(cfg.epochs):
         t0 = time.time()
         losses = []
-        for bi, (batch, n_valid) in enumerate(
-                batch_iter(train_data, bs, shuffle=True, rng=data_rng), 1):
+        for bi, (dev_batch, host_batch, n_valid) in enumerate(
+                prefetch_batches(
+                    batch_iter(train_data, bs, shuffle=True, rng=data_rng,
+                               with_valid=True), put), 1):
             dropout_key, sub = jax.random.split(dropout_key)
-            state, metrics = train_step(state, put(batch), sub)
+            state, metrics = train_step(state, dev_batch, sub)
             step_count += 1
             timer.tick()
-            loss_val = float(metrics["loss"])
-            if not np.isfinite(loss_val):
-                # Failure detection (SURVEY.md §5.2-5.3): the reference's only
-                # guard is a try/except tensor dump
-                # (textmodel_example_task2A.py:407-413).  Dump the offending
-                # batch + step metadata for postmortem and abort cleanly —
-                # a checkpointer-equipped run resumes from the last good save.
-                dump = f"nonfinite_step{step_count}_fold{fold}.npz"
-                np.savez(dump, **{k: np.asarray(v)
-                                  for k, v in batch.items()},
-                         grad_norm=float(metrics["grad_norm"]))
-                raise FloatingPointError(
-                    f"non-finite loss at epoch {epoch} batch {bi} "
-                    f"(grad_norm={float(metrics['grad_norm']):.3e}); "
-                    f"batch dumped to {dump}")
-            losses.append(loss_val)
+            pending.append((epoch, bi, metrics, host_batch))
             if bi % log_every == 0:
+                flush_metrics()
                 log.info(
                     "TRAIN | Epoch [%d] | Batch [%d/%d] | Loss: %.4f | "
                     "Grad Norm: %.4f", epoch, bi, steps_per_epoch,
-                    np.mean(losses[-log_every:]), float(metrics["grad_norm"]))
+                    np.mean(losses[-log_every:]), last_grad_norm)
 
             if test_data is not None and (bi % check_interval == 0
                                           or bi == steps_per_epoch):
+                flush_metrics()
                 t_res = run_eval(state, eval_step, test_data, bs, put)
                 history.append({"epoch": epoch, "batch": bi,
                                 "test_f1": t_res.macro_f1,
@@ -192,6 +264,7 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
                     if checkpointer is not None:
                         checkpointer.save(state, step=step_count,
                                           metrics={"test_f1": best_f1})
+        flush_metrics()
         stats = timer.stats(batch_size=bs)
         log.info("TRAIN | Epoch [%d] done in %.1fs | loss %.4f | "
                  "%.1f items/s (p50 %.0f ms/step)", epoch,

@@ -107,18 +107,31 @@ def build_train_step_fn(apply_fn: ApplyFn, cfg: TrainConfig,
     """
     compute_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
 
-    def loss_from_outputs(outputs, labels):
+    def loss_from_outputs(outputs, labels, valid=None):
+        """Mean loss over the *valid* rows only: replicated padding rows in
+        the static-shape final batch (train.loop.batch_iter) carry zero
+        weight, matching the reference's smaller-final-batch semantics."""
         outputs = outputs.astype(jnp.float32)
         if cfg.loss == LossType.FOCAL:
-            return sigmoid_focal_loss(outputs, labels.astype(jnp.float32),
-                                      alpha=cfg.focal_alpha,
-                                      gamma=cfg.focal_gamma)
-        return softmax_cross_entropy(
-            outputs, labels,
-            class_weights=class_weights if cfg.use_class_weights else None)
+            vec = sigmoid_focal_loss(outputs, labels.astype(jnp.float32),
+                                     alpha=cfg.focal_alpha,
+                                     gamma=cfg.focal_gamma, reduction="none")
+            w = valid
+        else:
+            vec = softmax_cross_entropy(outputs, labels, reduction="none")
+            cw = class_weights if cfg.use_class_weights else None
+            if cw is None:
+                w = valid
+            else:  # torch weighted-mean: normalize by the sum of weights
+                w = cw[labels] if valid is None else cw[labels] * valid
+        if w is None:
+            return jnp.mean(vec)
+        w = w.astype(jnp.float32)
+        return jnp.sum(vec * w) / jnp.maximum(jnp.sum(w), 1e-9)
 
     def step_fn(state: TrainState, batch: Dict, dropout_rng: jax.Array):
         drop_key, aug_key = jax.random.split(dropout_rng)
+        valid = batch.get("valid")  # static presence check at trace time
 
         def loss_fn(params):
             variables = {"params": _cast_floats(params, compute_dtype),
@@ -126,12 +139,12 @@ def build_train_step_fn(apply_fn: ApplyFn, cfg: TrainConfig,
             cast_batch = {
                 k: (v.astype(compute_dtype)
                     if jnp.issubdtype(v.dtype, jnp.floating) else v)
-                for k, v in batch.items()}
+                for k, v in batch.items() if k != "valid"}
             outputs, mutated = apply_fn(
                 variables, cast_batch, train=True,
                 rngs={"dropout": drop_key, "augment": aug_key},
                 mutable=["batch_stats"])
-            loss = loss_from_outputs(outputs, batch["label"])
+            loss = loss_from_outputs(outputs, batch["label"], valid)
             return loss, mutated.get("batch_stats", state.batch_stats)
 
         (loss, new_stats), grads = jax.value_and_grad(
