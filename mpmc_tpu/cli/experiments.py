@@ -67,10 +67,10 @@ def prepare_text(manifest: Manifest, tok: WordPieceTokenizer, max_len: int,
 
 
 def prepare_images(manifest: Manifest, image_root: str, size: int,
-                   grayscale: bool = False) -> np.ndarray:
+                   grayscale: bool = False, strict: bool = False) -> np.ndarray:
     from mpmc_tpu.image.pipeline import ImagePipeline
     pipe = ImagePipeline(manifest.img_paths, root=image_root, size=size,
-                         grayscale=grayscale)
+                         grayscale=grayscale, strict=strict)
     return pipe.preload()
 
 
@@ -127,13 +127,15 @@ def make_apply_fn(model, kind: str, augment_images: bool = False,
 
 
 def _init_and_steps(model, cfg: TrainConfig, train_data, kind: str,
-                    augment: bool = False, grayscale: bool = False):
+                    augment: bool = False, grayscale: bool = False,
+                    pretrained=None):
     import jax
     import numpy as np
+    from mpmc_tpu.models.pretrained import apply_pretrained
     from mpmc_tpu.train.step import (create_train_state, make_eval_step,
                                      make_optimizer, make_train_step)
 
-    ex = {k: v[:2] for k, v in train_data.items()}
+    ex = {k: v[:2] for k, v in train_data.items() if k != "valid"}
     if "image" in ex and ex["image"].dtype == np.uint8:
         ex["image"] = ex["image"].astype(np.float32) / 255.0
     if kind == "text":
@@ -145,6 +147,7 @@ def _init_and_steps(model, cfg: TrainConfig, train_data, kind: str,
         variables = model.init(jax.random.key(cfg.seed), ex["text_ids"],
                                ex["text_mask"], ex["image"],
                                ex.get("caption_ids"), ex.get("caption_mask"))
+    variables = apply_pretrained(variables, cfg.model, kind, pretrained)
     n = len(train_data["label"])
     bs = cfg.data.batch_size
     total_steps = ((n + bs - 1) // bs) * cfg.epochs
@@ -171,14 +174,15 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
                test_data: Optional[Dict[str, np.ndarray]],
                test_ids: Optional[List[str]],
                out_dir: str, name: str, folds: Optional[List[int]] = None,
-               augment: bool = False, grayscale: bool = False
-               ) -> SubtaskResult:
+               augment: bool = False, grayscale: bool = False,
+               pretrained=None) -> SubtaskResult:
     from mpmc_tpu.train.loop import fit
     os.makedirs(out_dir, exist_ok=True)
     if cfg.mesh.num_fold_shards > 1:
         return _run_folds_parallel(cfg, model_factory, kind, full_data, ids,
                                    test_data, test_ids, out_dir, name,
-                                   augment=augment, grayscale=grayscale)
+                                   augment=augment, grayscale=grayscale,
+                                   pretrained=pretrained)
     labels = full_data["label"]
     splits = stratified_kfold(labels, cfg.data.num_folds, cfg.data.fold_seed)
     # Plain data parallelism (SURVEY.md §2.3): batch sharded over the `data`
@@ -210,13 +214,22 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
         t_ids = test_ids if test_ids is not None else [ids[i] for i in va_idx]
         model = model_factory()
         state, train_step, eval_step = _init_and_steps(
-            model, cfg, train_d, kind, augment=augment, grayscale=grayscale)
+            model, cfg, train_d, kind, augment=augment, grayscale=grayscale,
+            pretrained=pretrained)
         state = place_state(state)
         prefix = os.path.join(out_dir, f"{name}_{cfg.team_name}")
+        checkpointer = None
+        if cfg.checkpoint_dir:
+            from mpmc_tpu.train.checkpoint import Checkpointer
+            checkpointer = Checkpointer(
+                os.path.join(cfg.checkpoint_dir, f"fold_{k}"))
         res = fit(state, train_step, eval_step, cfg, train_d,
                   test_data=t_data, val_data=val_d, test_ids=t_ids,
                   val_ids=[ids[i] for i in va_idx],
-                  fold=k, tsv_prefix=prefix, put=put)
+                  fold=k, tsv_prefix=prefix, put=put,
+                  checkpointer=checkpointer)
+        if checkpointer is not None:
+            checkpointer.wait()
         results.append(res)
         prob_paths.append(f"{prefix}_probs_fold_{k}.tsv")
         log.info("fold %d best test macro-F1: %.4f", k, res.best_macro_f1)
@@ -228,12 +241,13 @@ def _run_folds_parallel(cfg: TrainConfig, model_factory, kind: str,
                         test_data: Optional[Dict[str, np.ndarray]],
                         test_ids: Optional[List[str]],
                         out_dir: str, name: str,
-                        augment: bool = False, grayscale: bool = False
-                        ) -> SubtaskResult:
+                        augment: bool = False, grayscale: bool = False,
+                        pretrained=None) -> SubtaskResult:
     """All folds as one SPMD program over a (fold, data) mesh
     (``cfg.mesh.num_fold_shards == cfg.data.num_folds``)."""
     import jax
     from mpmc_tpu.cv.fold_driver import fit_folds_parallel
+    from mpmc_tpu.models.pretrained import apply_pretrained
     from mpmc_tpu.parallel.mesh import make_mesh
     from mpmc_tpu.train.step import (build_train_step_fn, create_train_state,
                                      make_eval_step, make_optimizer)
@@ -263,6 +277,7 @@ def _run_folds_parallel(cfg: TrainConfig, model_factory, kind: str,
             variables = model.init(key, ex["text_ids"], ex["text_mask"],
                                    ex["image"], ex.get("caption_ids"),
                                    ex.get("caption_mask"))
+        variables = apply_pretrained(variables, cfg.model, kind, pretrained)
         return create_train_state(variables, tx)[0]
 
     step_fn = build_train_step_fn(apply_fn, cfg, tx)
@@ -286,9 +301,22 @@ def _run_folds_parallel(cfg: TrainConfig, model_factory, kind: str,
 # Subtask entry points
 # ---------------------------------------------------------------------------
 
+def _persist_vocab(tok, cfg: TrainConfig, out_dir: str,
+                   filename: str = "vocab.txt") -> None:
+    """Save the training vocab next to the outputs (and the checkpoint dir,
+    when configured) so ``predict`` restores the exact token-id mapping —
+    a rebuilt vocab silently garbles restored-checkpoint inference."""
+    os.makedirs(out_dir, exist_ok=True)
+    tok.save(os.path.join(out_dir, filename))
+    if cfg.checkpoint_dir:
+        os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+        tok.save(os.path.join(cfg.checkpoint_dir, filename))
+
+
 def run_subtask_2a(cfg: TrainConfig, out_dir: str = "outputs/2a",
                    vocab_path: Optional[str] = None,
-                   folds: Optional[List[int]] = None) -> SubtaskResult:
+                   folds: Optional[List[int]] = None,
+                   pretrained=None) -> SubtaskResult:
     """10-fold over train+dev, CE loss, attention pooling
     (reference textmodel_example_task2A.py:194,221-230,386)."""
     from mpmc_tpu.models import TextClassifier
@@ -297,6 +325,7 @@ def run_subtask_2a(cfg: TrainConfig, out_dir: str = "outputs/2a",
     combined = train.concat(dev) if cfg.data.fold_over_train_plus_dev else train
     tok = build_tokenizer([preprocess_arabic_tweet(t) for t in combined.texts],
                           vocab_path)
+    _persist_vocab(tok, cfg, out_dir)
     mcfg = dataclasses.replace(
         cfg.model, subtask=Subtask.A, num_classes=2,
         pooling=PoolingType.ATTENTION,
@@ -309,12 +338,14 @@ def run_subtask_2a(cfg: TrainConfig, out_dir: str = "outputs/2a",
     data = {"text_ids": ids_arr, "text_mask": mask_arr,
             "label": combined.labels}
     return _run_folds(cfg, lambda: TextClassifier(mcfg), "text", data,
-                      combined.ids, None, None, out_dir, "task2A", folds)
+                      combined.ids, None, None, out_dir, "task2A", folds,
+                      pretrained=pretrained)
 
 
 def run_subtask_2b(cfg: TrainConfig, out_dir: str = "outputs/2b",
                    binary_head: bool = False,
-                   folds: Optional[List[int]] = None) -> SubtaskResult:
+                   folds: Optional[List[int]] = None,
+                   pretrained=None) -> SubtaskResult:
     """Image-only k-fold (reference Untitled-2.py zoo semantics)."""
     from mpmc_tpu.models import ImageClassifier
     train = read_manifest(cfg.data.train_manifest)
@@ -322,50 +353,80 @@ def run_subtask_2b(cfg: TrainConfig, out_dir: str = "outputs/2b",
     mcfg = dataclasses.replace(cfg.model, subtask=Subtask.B, num_classes=2)
     cfg = dataclasses.replace(cfg, model=mcfg, loss=LossType.CROSS_ENTROPY)
     imgs = prepare_images(train, cfg.data.image_root, mcfg.image.image_size,
-                          mcfg.image.grayscale)
+                          mcfg.image.grayscale, strict=cfg.data.strict_images)
     dev_imgs = prepare_images(dev, cfg.data.image_root, mcfg.image.image_size,
-                              mcfg.image.grayscale)
+                              mcfg.image.grayscale,
+                              strict=cfg.data.strict_images)
     data = {"image": imgs, "label": train.labels}
     test = {"image": dev_imgs, "label": dev.labels}
     return _run_folds(cfg, lambda: ImageClassifier(mcfg, binary_head),
                       "image", data, train.ids, test, dev.ids, out_dir,
                       "task2B", folds, augment=not mcfg.image.grayscale,
-                      grayscale=mcfg.image.grayscale)
+                      grayscale=mcfg.image.grayscale, pretrained=pretrained)
 
 
 def run_subtask_2c(cfg: TrainConfig, out_dir: str = "outputs/2c",
                    vocab_path: Optional[str] = None,
-                   folds: Optional[List[int]] = None) -> SubtaskResult:
+                   caption_vocab_path: Optional[str] = None,
+                   folds: Optional[List[int]] = None,
+                   pretrained=None,
+                   caption_generate_fn=None) -> SubtaskResult:
     """Flagship multimodal 5-fold over train, dev as test split, focal loss
     (reference Multimodal_example_task2C.py setup())."""
     from mpmc_tpu.models import MultimodalClassifier
+    from mpmc_tpu.models.captioner import precompute_captions
     train = read_manifest(cfg.data.train_manifest)
     dev = read_manifest(cfg.data.dev_manifest)
     tok = build_tokenizer([preprocess_arabic_tweet(t) for t in train.texts],
                           vocab_path)
+    _persist_vocab(tok, cfg, out_dir)
     mcfg = dataclasses.replace(
         cfg.model, subtask=Subtask.C, num_classes=1,
         text=dataclasses.replace(cfg.model.text,
                                  vocab_size=max(tok.vocab.values()) + 1))
+
+    imgs = {"train": prepare_images(train, cfg.data.image_root,
+                                    mcfg.image.image_size,
+                                    strict=cfg.data.strict_images),
+            "dev": prepare_images(dev, cfg.data.image_root,
+                                  mcfg.image.image_size,
+                                  strict=cfg.data.strict_images)}
+    cap_tok = None
+    caps = {}
+    if mcfg.caption is not None:
+        # Captions must exist BEFORE the caption vocab (ADVICE r1): a vocab
+        # built from the bare prompt makes every caption encode to the same
+        # "a meme of [UNK]" sequence and the whole caption branch (a full
+        # encoder) consumes a constant input.  Generate (or read cached)
+        # captions for both splits, then tokenize with either the provided
+        # pretrained vocab or a corpus vocab over the actual captions.
+        caps["train"] = precompute_captions(
+            train.img_paths, imgs["train"], cache_dir=cfg.data.cache_dir,
+            generate_fn=caption_generate_fn)
+        caps["dev"] = precompute_captions(
+            dev.img_paths, imgs["dev"], cache_dir=cfg.data.cache_dir,
+            generate_fn=caption_generate_fn)
+        cap_tok = build_tokenizer(caps["train"] + caps["dev"],
+                                  caption_vocab_path)
+        _persist_vocab(cap_tok, cfg, out_dir, "caption_vocab.txt")
+        mcfg = dataclasses.replace(
+            mcfg, caption=dataclasses.replace(
+                mcfg.caption,
+                vocab_size=max(cap_tok.vocab.values()) + 1))
     cfg = dataclasses.replace(cfg, model=mcfg, loss=LossType.FOCAL)
 
-    def prep(split: Manifest):
+    def prep(split: Manifest, key: str):
         ids_arr, mask_arr = prepare_text(split, tok, mcfg.max_text_len)
-        imgs = prepare_images(split, cfg.data.image_root,
-                              mcfg.image.image_size)
-        d = {"text_ids": ids_arr, "text_mask": mask_arr, "image": imgs}
+        d = {"text_ids": ids_arr, "text_mask": mask_arr, "image": imgs[key]}
         if mcfg.caption is not None:
-            cap_tok = build_tokenizer(["a meme of"], None)
-            cap_ids, cap_mask = prepare_captions(
-                split, imgs, cfg.data.cache_dir, cap_tok,
-                mcfg.max_caption_len)
-            d["caption_ids"], d["caption_mask"] = cap_ids, cap_mask
+            d["caption_ids"], d["caption_mask"] = cap_tok.encode_batch(
+                caps[key], mcfg.max_caption_len)
         if split.labels is not None:
             d["label"] = split.labels
         return d
 
-    data = prep(train)
-    test = prep(dev)
+    data = prep(train, "train")
+    test = prep(dev, "dev")
     return _run_folds(cfg, lambda: MultimodalClassifier(mcfg), "multimodal",
                       data, train.ids, test, dev.ids, out_dir, "task2C",
-                      folds, augment=True)
+                      folds, augment=True, pretrained=pretrained)

@@ -193,6 +193,9 @@ class DataConfig:
     fold_over_train_plus_dev: bool = False  # 2A: 10-fold over train+dev (:221-230)
     normalize_arabic: bool = True
     cache_dir: str = ".cache"         # caption + tokenization cache (unlike reference)
+    # Raise (instead of warn + synthesize pixels) when manifest images are
+    # missing under image_root — set for real training/scoring runs.
+    strict_images: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

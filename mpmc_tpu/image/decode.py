@@ -20,10 +20,13 @@ the 2B HF-Trainer variant, ``ResNet_example_task2B.py:156``).
 from __future__ import annotations
 
 import hashlib
+import logging
 import os
-from typing import Sequence
+from typing import Optional, Sequence
 
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 _native = None
 _native_checked = False
@@ -70,11 +73,19 @@ def _resize_bilinear_u8(img: np.ndarray, size: int) -> np.ndarray:
 
 
 def decode_image(path: str, size: int = 224, grayscale: bool = False,
-                 root: str = ".") -> np.ndarray:
-    """Decode one image file → uint8 [size, size, C]."""
+                 root: str = ".",
+                 missing: Optional[list] = None) -> np.ndarray:
+    """Decode one image file → uint8 [size, size, C].
+
+    A missing/undecodable file yields deterministic synthetic pixels (for
+    smoke/bench runs without the image tarball); the path is appended to
+    ``missing`` so callers can warn or abort (ADVICE r1: a wrong image_root
+    must not silently train on noise)."""
     channels = 1 if grayscale else 3
     full = os.path.join(root, path)
     if not os.path.exists(full):
+        if missing is not None:
+            missing.append(path)
         return _synthetic(path, size, channels)
 
     native = _load_native()
@@ -93,18 +104,25 @@ def decode_image(path: str, size: int = 224, grayscale: bool = False,
                 arr = arr[..., None]
             return arr
     except Exception:
+        if missing is not None:
+            missing.append(path)
         return _synthetic(path, size, channels)
 
 
 def decode_batch(paths: Sequence[str], size: int = 224,
                  grayscale: bool = False, root: str = ".",
-                 num_threads: int = 8) -> np.ndarray:
-    """Parallel decode → uint8 [N, size, size, C]."""
+                 num_threads: int = 8, strict: bool = False) -> np.ndarray:
+    """Parallel decode → uint8 [N, size, size, C].
+
+    Missing/undecodable files are logged with a count; ``strict=True``
+    raises instead (real training/scoring runs should not substitute
+    synthetic pixels unnoticed)."""
     from concurrent.futures import ThreadPoolExecutor
     out = np.empty((len(paths), size, size, 1 if grayscale else 3), np.uint8)
+    missing: list = []
 
     def work(i):
-        out[i] = decode_image(paths[i], size, grayscale, root)
+        out[i] = decode_image(paths[i], size, grayscale, root, missing)
 
     if len(paths) > 1 and num_threads > 1:
         with ThreadPoolExecutor(num_threads) as ex:
@@ -112,4 +130,11 @@ def decode_batch(paths: Sequence[str], size: int = 224,
     else:
         for i in range(len(paths)):
             work(i)
+    if missing:
+        msg = (f"{len(missing)}/{len(paths)} images missing or undecodable "
+               f"under root={root!r} (e.g. {missing[0]!r}) — synthetic "
+               f"pixels substituted")
+        if strict:
+            raise FileNotFoundError(msg)
+        log.warning("%s", msg)
     return out

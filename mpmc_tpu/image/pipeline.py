@@ -28,19 +28,21 @@ from mpmc_tpu.image.decode import decode_batch
 class ImagePipeline:
     def __init__(self, paths: Sequence[str], root: str = ".",
                  size: int = 224, grayscale: bool = False,
-                 decode_threads: int = 16):
+                 decode_threads: int = 16, strict: bool = False):
         self.paths = list(paths)
         self.root = root
         self.size = size
         self.grayscale = grayscale
         self.decode_threads = decode_threads
+        self.strict = strict
         self._cache: Optional[np.ndarray] = None
 
     def preload(self) -> np.ndarray:
         """Decode the whole split once → uint8 [N, size, size, C]."""
         if self._cache is None:
             self._cache = decode_batch(self.paths, self.size, self.grayscale,
-                                       self.root, self.decode_threads)
+                                       self.root, self.decode_threads,
+                                       strict=self.strict)
         return self._cache
 
     def __len__(self) -> int:

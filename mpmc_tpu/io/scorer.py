@@ -102,10 +102,13 @@ def evaluate(gold_fpath: str, pred_fpath: str) -> Tuple[float, float, float, flo
     gold = [label for _, label in sorted(gold_labels.items())]
     pred = [label for _, label in sorted(line_score)]
 
-    names = sorted(set(gold))  # label-name classes, sklearn sorts them
+    # sklearn (the reference scorer) averages over the union of gold and
+    # predicted label names — gold-only classes would diverge on a
+    # degenerate single-class gold split (ADVICE r1).
+    names = sorted(set(gold) | set(pred))
     to_id = {n: k for k, n in enumerate(names)}
     g = np.asarray([to_id[x] for x in gold])
-    p = np.asarray([to_id.get(x, -1) for x in pred])
+    p = np.asarray([to_id[x] for x in pred])
 
     classes = list(range(len(names)))
     acc = accuracy_score(g, p)

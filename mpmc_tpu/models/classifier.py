@@ -31,34 +31,40 @@ from mpmc_tpu.models.resnet import ResNet, TinyResNet
 from mpmc_tpu.models.vit import BinaryHead, ViT
 
 
-def create_image_backbone(cfg: ImageEncoderConfig) -> nn.Module:
+def create_image_backbone(cfg: ImageEncoderConfig,
+                          name: Optional[str] = None) -> nn.Module:
     """timm-style factory (the reference's ``GeneralizedMemesClassifier``
-    generic-backbone pattern, ``Untitled-2.py:346-359``)."""
+    generic-backbone pattern, ``Untitled-2.py:346-359``).
+
+    ``name`` pins the flax submodule name (stable param paths for pretrained
+    checkpoint splicing, ``models.pretrained``)."""
     a = cfg.arch
+    kw = {"name": name} if name else {}
     if a == "resnet18":
-        return ResNet((2, 2, 2, 2), (64, 128, 256, 512), "basic")
+        return ResNet((2, 2, 2, 2), (64, 128, 256, 512), "basic", **kw)
     if a == "resnet50":
-        return ResNet((3, 4, 6, 3), (64, 128, 256, 512), "bottleneck")
+        return ResNet((3, 4, 6, 3), (64, 128, 256, 512), "bottleneck", **kw)
     if a == "resnext50_32x4d":
         return ResNet((3, 4, 6, 3), (64, 128, 256, 512), "bottleneck",
-                      groups=32, base_width=4)
+                      groups=32, base_width=4, **kw)
     if a == "seresnext50_32x4d":
         return ResNet((3, 4, 6, 3), (64, 128, 256, 512), "bottleneck",
-                      groups=32, base_width=4, use_se=True)
+                      groups=32, base_width=4, use_se=True, **kw)
     if a == "tiny_resnet":
-        return TinyResNet()
+        return TinyResNet(**kw)
     if a in ("vit_base_16", "vit_base_patch16_224", "vit_base_patch16_384"):
-        return ViT()
+        return ViT(**kw)
     if a in ("vit_base_32", "clip_vit_b32"):
         # CLIP-style ViT-B/32 trunk (the working version of the reference's
         # abandoned CLIP 2C attempt, mm_model_mm_example_task2C.py:49 — C26)
-        return ViT(patch_size=32)
+        return ViT(patch_size=32, **kw)
     if a in ("vit_large_16", "vit_large_patch16_384"):
-        return ViT(hidden_size=1024, num_layers=24, num_heads=16, mlp_dim=4096)
+        return ViT(hidden_size=1024, num_layers=24, num_heads=16,
+                   mlp_dim=4096, **kw)
     if a == "convnext_tiny":
-        return ConvNeXt()
+        return ConvNeXt(**kw)
     if a in ("efficientnet_b3", "efficientnet_b4"):
-        return EfficientNet(a[-2:])
+        return EfficientNet(a[-2:], **kw)
     raise ValueError(f"Unknown image arch: {a}")
 
 
@@ -69,7 +75,8 @@ class ImageEncoderWithHead(nn.Module):
 
     @nn.compact
     def __call__(self, image, train: bool = False):
-        feats = create_image_backbone(self.cfg)(image, train=train)
+        feats = create_image_backbone(self.cfg, name="backbone")(
+            image, train=train)
         h = nn.Dense(self.cfg.finetune_dim, name="finetune_fc1")(feats)
         h = nn.relu(h)
         h = nn.Dropout(self.cfg.finetune_dropout)(h, deterministic=not train)
@@ -99,7 +106,8 @@ class ImageClassifier(nn.Module):
 
     @nn.compact
     def __call__(self, image, train: bool = False):
-        feats = create_image_backbone(self.cfg.image)(image, train=train)
+        feats = create_image_backbone(self.cfg.image, name="backbone")(
+            image, train=train)
         if self.binary_head:
             return BinaryHead(self.cfg.num_classes, name="binary_head")(feats)
         return nn.Dense(self.cfg.num_classes, name="output")(feats)

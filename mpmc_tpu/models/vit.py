@@ -20,11 +20,12 @@ class ViTEncoderLayer(nn.Module):
     num_heads: int
     mlp_dim: int
     dropout: float = 0.0
+    ln_eps: float = 1e-6  # timm default; HF ViTModel uses 1e-12
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         # Pre-LN transformer block (ViT convention).
-        h = nn.LayerNorm(name="ln1")(x)
+        h = nn.LayerNorm(epsilon=self.ln_eps, name="ln1")(x)
         head_dim = self.hidden_size // self.num_heads
         shape = (self.num_heads, head_dim)
         q = nn.DenseGeneral(shape, axis=-1, name="q")(h)
@@ -33,7 +34,7 @@ class ViTEncoderLayer(nn.Module):
         ctx = dot_product_attention(q, k, v)
         h = nn.DenseGeneral(self.hidden_size, axis=(-2, -1), name="out")(ctx)
         x = x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.LayerNorm(name="ln2")(x)
+        h = nn.LayerNorm(epsilon=self.ln_eps, name="ln2")(x)
         h = nn.Dense(self.mlp_dim, name="mlp1")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.hidden_size, name="mlp2")(h)
@@ -48,6 +49,7 @@ class ViT(nn.Module):
     mlp_dim: int = 3072
     num_classes: int = 0      # 0 → return CLS features
     dropout: float = 0.0
+    ln_eps: float = 1e-6
 
     @property
     def feature_dim(self) -> int:
@@ -69,9 +71,10 @@ class ViT(nn.Module):
         y = y + pos
         for i in range(self.num_layers):
             y = ViTEncoderLayer(self.hidden_size, self.num_heads, self.mlp_dim,
-                                self.dropout, name=f"layer_{i}")(
+                                self.dropout, self.ln_eps,
+                                name=f"layer_{i}")(
                 y, deterministic=not train)
-        y = nn.LayerNorm(name="ln_final")(y)
+        y = nn.LayerNorm(epsilon=self.ln_eps, name="ln_final")(y)
         feats = y[:, 0]
         if self.num_classes:
             return nn.Dense(self.num_classes, name="classifier")(feats)

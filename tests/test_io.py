@@ -138,3 +138,33 @@ def test_shipped_fold_tsvs_score(tmp_path):
     g = np.array([1 if gold[i] == "propaganda" else 0 for i in ids])
     p = np.array([1 if l == "propaganda" else 0 for l in labels])
     assert msc.macro_f1(g, p) > 0.6
+
+
+def test_scorer_label_union_on_single_class_gold(tmp_path):
+    """sklearn averages over the union of gold and predicted labels; a
+    single-class gold split with opposite-class predictions must match the
+    official scorer (ADVICE r1: gold-only label set diverged here)."""
+    import json
+    from sklearn.metrics import (accuracy_score, f1_score, precision_score,
+                                 recall_score)
+    from mpmc_tpu.io.scorer import evaluate
+
+    ids = [f"d/x_{i}.png" for i in range(10)]
+    gold = [{"id": i, "img_path": i, "text": "t",
+             "class_label": "not_propaganda"} for i in ids]
+    gpath = str(tmp_path / "gold.json")
+    with open(gpath, "w") as f:
+        json.dump(gold, f)
+    pred = np.array([0, 1, 0, 1, 0, 0, 0, 1, 0, 0])
+    ppath = str(tmp_path / "pred.tsv")
+    mtsv.write_label_tsv(ppath, ids, pred, "r")
+
+    acc, pw, rw, f1 = evaluate(gpath, ppath)
+    y_true = ["not_propaganda"] * 10
+    y_pred = ["propaganda" if p else "not_propaganda" for p in pred]
+    assert acc == accuracy_score(y_true, y_pred)
+    assert pw == pytest.approx(precision_score(
+        y_true, y_pred, average="weighted", zero_division=0))
+    assert rw == pytest.approx(recall_score(
+        y_true, y_pred, average="weighted", zero_division=0))
+    assert f1 == pytest.approx(f1_score(y_true, y_pred, average="macro"))
