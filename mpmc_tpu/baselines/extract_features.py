@@ -57,8 +57,15 @@ def extract_features(data_dir: str, file_name: str, out_file_name: str,
     img_vars = net.init(jax.random.key(0),
                         jnp.zeros((1, 224, 224, 3), jnp.float32))
     if image_params_path:
-        with open(image_params_path, "rb") as f:
-            img_vars = serialization.from_bytes(img_vars, f.read())
+        if image_params_path.endswith(".msgpack"):
+            with open(image_params_path, "rb") as f:
+                img_vars = serialization.from_bytes(img_vars, f.read())
+        else:  # torchvision/HF ConvNeXt-Tiny checkpoint → converter
+            from mpmc_tpu.models.pretrained import load_state_dict
+            from mpmc_tpu.models.vision_convert import \
+                convert_convnext_state_dict
+            img_vars = {"params": convert_convnext_state_dict(
+                load_state_dict(image_params_path))["params"]}
 
     # params as jit *arguments* (a closure would bake ~100MB of weights into
     # the HLO as constants — oversized compile payloads, slower compiles)
@@ -101,8 +108,14 @@ def extract_features(data_dir: str, file_name: str, out_file_name: str,
     enc = TextEncoder(cfg)
     txt_vars = enc.init(jax.random.key(1), ids[:1], mask[:1])
     if text_params_path:
-        with open(text_params_path, "rb") as f:
-            txt_vars = serialization.from_bytes(txt_vars, f.read())
+        if text_params_path.endswith(".msgpack"):
+            with open(text_params_path, "rb") as f:
+                txt_vars = serialization.from_bytes(txt_vars, f.read())
+        else:  # HF AraBERTv2 checkpoint (dir/bin/safetensors) → converter
+            from mpmc_tpu.models.hf_convert import convert_bert_state_dict
+            from mpmc_tpu.models.pretrained import load_state_dict
+            txt_vars = {"params": convert_bert_state_dict(
+                load_state_dict(text_params_path), cfg)}
 
     @jax.jit
     def txt_fwd(variables, i, m):

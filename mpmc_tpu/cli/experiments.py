@@ -88,7 +88,8 @@ def prepare_captions(manifest: Manifest, images_u8: np.ndarray,
 # ---------------------------------------------------------------------------
 
 def make_apply_fn(model, kind: str, augment_images: bool = False,
-                  grayscale: bool = False) -> Callable:
+                  grayscale: bool = False,
+                  eval_transform_only: bool = False) -> Callable:
     """Wrap model.apply; with ``augment_images`` the batch carries raw uint8
     images and the photometric/geometric augmentation chain runs on-device
     inside the jitted step (train) or deterministic normalize (eval) —
@@ -101,9 +102,12 @@ def make_apply_fn(model, kind: str, augment_images: bool = False,
             import jax.numpy as _jnp
             from mpmc_tpu.image.augment import eval_preprocess, train_augment
             img = batch["image"]
-            if train:
+            if train and not eval_transform_only:
                 img = train_augment(rngs["augment"], img)
             else:
+                # eval_transform_only: the organizer baselines train with
+                # the deterministic Resize/CenterCrop/Normalize transform
+                # (no augmentation, Multimodal_example_task2C.txt:37-41)
                 img = eval_preprocess(img, grayscale=grayscale)
             leaves = _jax.tree_util.tree_leaves(variables["params"])
             if leaves and leaves[0].dtype == _jnp.bfloat16:
@@ -113,6 +117,10 @@ def make_apply_fn(model, kind: str, augment_images: bool = False,
             out = model.apply(variables, batch["text_ids"],
                               batch["text_mask"], train=train, rngs=rngs,
                               mutable=mutable)
+        elif kind == "simple":
+            out = model.apply(variables, batch["text_ids"],
+                              batch["text_mask"], batch["image"],
+                              train=train, rngs=rngs, mutable=mutable)
         elif kind == "image":
             out = model.apply(variables, batch["image"], train=train,
                               rngs=rngs, mutable=mutable)
@@ -128,7 +136,7 @@ def make_apply_fn(model, kind: str, augment_images: bool = False,
 
 def _init_and_steps(model, cfg: TrainConfig, train_data, kind: str,
                     augment: bool = False, grayscale: bool = False,
-                    pretrained=None):
+                    pretrained=None, eval_transform_only: bool = False):
     import jax
     import numpy as np
     from mpmc_tpu.models.pretrained import apply_pretrained
@@ -141,6 +149,9 @@ def _init_and_steps(model, cfg: TrainConfig, train_data, kind: str,
     if kind == "text":
         variables = model.init(jax.random.key(cfg.seed), ex["text_ids"],
                                ex["text_mask"])
+    elif kind == "simple":
+        variables = model.init(jax.random.key(cfg.seed), ex["text_ids"],
+                               ex["text_mask"], ex["image"])
     elif kind == "image":
         variables = model.init(jax.random.key(cfg.seed), ex["image"])
     else:
@@ -154,7 +165,8 @@ def _init_and_steps(model, cfg: TrainConfig, train_data, kind: str,
     tx = make_optimizer(cfg, total_steps)
     state, _ = create_train_state(variables, tx)
     apply_fn = make_apply_fn(model, kind, augment_images=augment,
-                             grayscale=grayscale)
+                             grayscale=grayscale,
+                             eval_transform_only=eval_transform_only)
     return (state, make_train_step(apply_fn, cfg, tx),
             make_eval_step(apply_fn, cfg))
 
@@ -175,7 +187,8 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
                test_ids: Optional[List[str]],
                out_dir: str, name: str, folds: Optional[List[int]] = None,
                augment: bool = False, grayscale: bool = False,
-               pretrained=None) -> SubtaskResult:
+               pretrained=None, eval_transform_only: bool = False
+               ) -> SubtaskResult:
     from mpmc_tpu.train.loop import fit
     os.makedirs(out_dir, exist_ok=True)
     if cfg.mesh.num_fold_shards > 1:
@@ -215,7 +228,7 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
         model = model_factory()
         state, train_step, eval_step = _init_and_steps(
             model, cfg, train_d, kind, augment=augment, grayscale=grayscale,
-            pretrained=pretrained)
+            pretrained=pretrained, eval_transform_only=eval_transform_only)
         state = place_state(state)
         prefix = os.path.join(out_dir, f"{name}_{cfg.team_name}")
         checkpointer = None
@@ -370,10 +383,16 @@ def run_subtask_2c(cfg: TrainConfig, out_dir: str = "outputs/2c",
                    caption_vocab_path: Optional[str] = None,
                    folds: Optional[List[int]] = None,
                    pretrained=None,
-                   caption_generate_fn=None) -> SubtaskResult:
+                   caption_generate_fn=None,
+                   simple: bool = False) -> SubtaskResult:
     """Flagship multimodal 5-fold over train, dev as test split, focal loss
-    (reference Multimodal_example_task2C.py setup())."""
+    (reference Multimodal_example_task2C.py setup()).
+
+    ``simple=True`` runs the organizers' C28 baseline instead
+    (``Multimodal_example_task2C.txt:152-197``): SimpleMultimodalClassifier,
+    2-class CE, no captions, deterministic eval transform in training."""
     from mpmc_tpu.models import MultimodalClassifier
+    from mpmc_tpu.models.classifier import SimpleMultimodalClassifier
     from mpmc_tpu.models.captioner import precompute_captions
     train = read_manifest(cfg.data.train_manifest)
     dev = read_manifest(cfg.data.dev_manifest)
@@ -381,7 +400,9 @@ def run_subtask_2c(cfg: TrainConfig, out_dir: str = "outputs/2c",
                           vocab_path)
     _persist_vocab(tok, cfg, out_dir)
     mcfg = dataclasses.replace(
-        cfg.model, subtask=Subtask.C, num_classes=1,
+        cfg.model, subtask=Subtask.C,
+        num_classes=max(cfg.model.num_classes, 2) if simple else 1,
+        caption=None if simple else cfg.model.caption,
         text=dataclasses.replace(cfg.model.text,
                                  vocab_size=max(tok.vocab.values()) + 1))
 
@@ -413,7 +434,9 @@ def run_subtask_2c(cfg: TrainConfig, out_dir: str = "outputs/2c",
             mcfg, caption=dataclasses.replace(
                 mcfg.caption,
                 vocab_size=max(cap_tok.vocab.values()) + 1))
-    cfg = dataclasses.replace(cfg, model=mcfg, loss=LossType.FOCAL)
+    cfg = dataclasses.replace(
+        cfg, model=mcfg,
+        loss=LossType.CROSS_ENTROPY if simple else LossType.FOCAL)
 
     def prep(split: Manifest, key: str):
         ids_arr, mask_arr = prepare_text(split, tok, mcfg.max_text_len)
@@ -427,6 +450,11 @@ def run_subtask_2c(cfg: TrainConfig, out_dir: str = "outputs/2c",
 
     data = prep(train, "train")
     test = prep(dev, "dev")
+    if simple:
+        return _run_folds(cfg, lambda: SimpleMultimodalClassifier(mcfg),
+                          "simple", data, train.ids, test, dev.ids, out_dir,
+                          "task2C", folds, augment=True,
+                          pretrained=pretrained, eval_transform_only=True)
     return _run_folds(cfg, lambda: MultimodalClassifier(mcfg), "multimodal",
                       data, train.ids, test, dev.ids, out_dir, "task2C",
                       folds, augment=True, pretrained=pretrained)

@@ -37,7 +37,12 @@ def _cmd_score(args):
 
 
 def _cmd_baselines(args):
-    from mpmc_tpu.baselines import (run_majority_baseline,
+    """run→check→score loop over every baseline of the subtask, including
+    the frozen-feature SVMs chained behind feature extraction (reference
+    ``run_baselines``: subtask_2b.py:109-131, subtask_2c.py:99-127)."""
+    import os
+    from mpmc_tpu.baselines import (run_feature_svm_baseline,
+                                    run_majority_baseline,
                                     run_ngram_baseline, run_random_baseline)
     sub = args.subtask.upper()
     results = {}
@@ -51,6 +56,28 @@ def _cmd_baselines(args):
         results["ngram"] = run_ngram_baseline(
             args.train_file_path, args.dev_file_path,
             f"{args.out_dir}/ngram_baseline_{sub}.tsv")
+    if sub in ("2B", "2C") and not args.skip_features:
+        from mpmc_tpu.baselines.extract_features import extract_features
+        feats_dir = args.features_dir or os.path.join(args.out_dir,
+                                                      "features")
+        feats = {}
+        for split, path in (("train", args.train_file_path),
+                            ("dev", args.dev_file_path)):
+            out = os.path.join(feats_dir, f"{split}_feats.json")
+            if not os.path.exists(out):
+                extract_features(
+                    os.path.dirname(path) or ".", os.path.basename(path),
+                    f"{split}_feats.json", image_root=args.image_root,
+                    text_vocab_path=args.text_vocab,
+                    text_params_path=args.text_params,
+                    image_params_path=args.image_params,
+                    features_dir=feats_dir)
+            feats[split] = out
+        name = "resnet" if sub == "2B" else "imgbert"  # README row names
+        results[name] = run_feature_svm_baseline(
+            feats["train"], feats["dev"], args.train_file_path,
+            args.dev_file_path, f"{args.out_dir}/{name}_baseline_{sub}.tsv",
+            use_text=(sub == "2C"))
     for name, (acc, p, r, f1) in results.items():
         print(f"{name}: acc={acc:.3f} macro-F1={f1:.3f}")
     return 0
@@ -95,6 +122,8 @@ def _cmd_train(args):
     folds = [args.fold] if args.fold is not None else None
     kwargs = {"out_dir": args.out_dir, "folds": folds,
               "pretrained": pretrained}
+    if args.simple and args.subtask == "2c" and not args.tiny:
+        cfg = dataclasses.replace(cfg, model=ModelConfig.simple_2c())
     if args.subtask == "2a":
         result = run_subtask_2a(cfg, vocab_path=args.vocab, **kwargs)
     elif args.subtask == "2b":
@@ -102,7 +131,7 @@ def _cmd_train(args):
     else:
         result = run_subtask_2c(cfg, vocab_path=args.vocab,
                                 caption_vocab_path=args.caption_vocab,
-                                **kwargs)
+                                simple=args.simple, **kwargs)
     for k, r in enumerate(result.fold_results):
         f1 = (r.best_macro_f1 if hasattr(r, "best_macro_f1")
               else r["macro_f1"])
@@ -324,6 +353,16 @@ def main(argv=None):
     p.add_argument("--train-file-path", "-tr", required=True)
     p.add_argument("--dev-file-path", "-te", required=True)
     p.add_argument("--out-dir", "-o", default=".")
+    p.add_argument("--image-root", default=None)
+    p.add_argument("--features-dir", default=None,
+                   help="reuse/emit feature JSONs here (skips re-extract)")
+    p.add_argument("--text-vocab", default=None)
+    p.add_argument("--text-params", default=None,
+                   help="AraBERTv2 checkpoint for the text feature branch")
+    p.add_argument("--image-params", default=None,
+                   help="ConvNeXt-Tiny checkpoint for the image branch")
+    p.add_argument("--skip-features", action="store_true",
+                   help="skip the frozen-feature SVM rows (no GPU/TPU pass)")
     p.set_defaults(fn=_cmd_baselines)
 
     p = sub.add_parser("extract-features")
@@ -353,6 +392,9 @@ def main(argv=None):
     p.add_argument("--small", action="store_true",
                    help="from-scratch small config (2A: beats the n-gram "
                         "baseline without pretrained weights)")
+    p.add_argument("--simple", action="store_true",
+                   help="2C only: the organizers' simple baseline (C28 — "
+                        "distilbert + resnet50 logits, CE, no captions)")
     p.add_argument("--vocab", default=None,
                    help="pretrained WordPiece vocab file (must match "
                         "--text-params)")

@@ -170,6 +170,20 @@ class ModelConfig:
         return ModelConfig(text=None)
 
     @staticmethod
+    def simple_2c() -> "ModelConfig":
+        """C28 — the organizers' simple 2C baseline preset
+        (``Multimodal_example_task2C.txt``): distilbert-base-multilingual
+        text branch, torchvision resnet50 logits image branch, 2-class CE,
+        no augmentation (Resize256/CenterCrop224 eval transform only,
+        ``:37-41``).  Consumed by ``SimpleMultimodalClassifier``."""
+        return ModelConfig(
+            subtask=Subtask.C,
+            text=TextEncoderConfig.distilbert_multilingual(),
+            caption=None,
+            image=ImageEncoderConfig(arch="resnet50", feature_dim=2048),
+            num_classes=2, max_text_len=128)
+
+    @staticmethod
     def tiny_2c() -> "ModelConfig":
         return ModelConfig(
             subtask=Subtask.C,

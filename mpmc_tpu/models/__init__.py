@@ -14,5 +14,6 @@ from mpmc_tpu.models.classifier import (  # noqa: F401
     ImageClassifier,
     ImageEncoderWithHead,
     MultimodalClassifier,
+    SimpleMultimodalClassifier,
     TextClassifier,
 )

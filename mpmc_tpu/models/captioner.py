@@ -117,9 +117,11 @@ class ImageCaptioner(nn.Module):
                                       self.dec_layers, max_len=self.max_len)
 
     def encode_image(self, images):
-        # full patch sequence (not just CLS): re-run the ViT trunk manually
-        feats = self.encoder(images)            # CLS features [B, H]
-        return self.proj(feats)[:, None, :]     # [B, 1, Hdec]
+        """Full patch-token sequence as cross-attention memory [B, 1+N,
+        Hdec] — a single pooled token starves the decoder of spatial detail
+        (BLIP conditions on all patches, ``models/blip.py``; VERDICT r1)."""
+        tokens = self.encoder(images, return_tokens=True)  # [B, 1+N, Henc]
+        return self.proj(tokens)
 
     def __call__(self, images, token_ids):
         img = self.encode_image(images)

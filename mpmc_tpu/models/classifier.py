@@ -32,14 +32,19 @@ from mpmc_tpu.models.vit import BinaryHead, ViT
 
 
 def create_image_backbone(cfg: ImageEncoderConfig,
-                          name: Optional[str] = None) -> nn.Module:
+                          name: Optional[str] = None,
+                          num_classes: int = 0) -> nn.Module:
     """timm-style factory (the reference's ``GeneralizedMemesClassifier``
     generic-backbone pattern, ``Untitled-2.py:346-359``).
 
     ``name`` pins the flax submodule name (stable param paths for pretrained
-    checkpoint splicing, ``models.pretrained``)."""
+    checkpoint splicing, ``models.pretrained``); ``num_classes`` > 0 keeps
+    the classifier head (e.g. the organizer 2C baseline consumes resnet50's
+    raw 1000-class logits, ``Multimodal_example_task2C.txt:164-165``)."""
     a = cfg.arch
     kw = {"name": name} if name else {}
+    if num_classes:
+        kw["num_classes"] = num_classes
     if a == "resnet18":
         return ResNet((2, 2, 2, 2), (64, 128, 256, 512), "basic", **kw)
     if a == "resnet50":
@@ -111,6 +116,40 @@ class ImageClassifier(nn.Module):
         if self.binary_head:
             return BinaryHead(self.cfg.num_classes, name="binary_head")(feats)
         return nn.Dense(self.cfg.num_classes, name="output")(feats)
+
+
+class SimpleMultimodalClassifier(nn.Module):
+    """C28 — the organizers' simple 2C baseline
+    (``Multimodal_example_task2C.txt:152-197``): text encoder →
+    ``[0][:, -1, :]`` pooling (the reference takes the LAST token, not CLS —
+    a documented reference bug, reproduced for parity behind
+    ``last_token_pooling``) → Dropout(0.3) → Linear 768→512; torchvision
+    ``resnet50`` *1000-class logits* → Linear 1000→512; concat → Linear
+    1024→512 → Linear 512→num_classes.  No activations between the linears
+    (faithful to the reference).  Eval transform is Resize/CenterCrop with
+    no augmentation — the driver runs the no-train-aug path."""
+
+    cfg: ModelConfig
+    last_token_pooling: bool = True   # the reference's [:, -1, :]
+    image_logits_dim: int = 1000      # torchvision resnet50 head
+
+    @nn.compact
+    def __call__(self, text_ids, text_mask, image, train: bool = False):
+        c = self.cfg
+        hidden = TextEncoder(c.text, name="text_model")(
+            text_ids, text_mask, deterministic=not train)
+        pooled = hidden[:, -1] if self.last_token_pooling else hidden[:, 0]
+        t = nn.Dropout(0.3)(pooled, deterministic=not train)
+        t = nn.Dense(c.proj_dim, name="bert_fc")(t)
+
+        img_logits = create_image_backbone(
+            c.image, name="backbone", num_classes=self.image_logits_dim)(
+            image, train=train)
+        i = nn.Dense(c.proj_dim, name="resnet_fc")(img_logits)
+
+        f = nn.Dense(c.proj_dim, name="fusion_fc")(
+            jax.numpy.concatenate([t, i], axis=-1))
+        return nn.Dense(c.num_classes, name="output_fc")(f)
 
 
 class _ModalityFC(nn.Module):

@@ -146,6 +146,29 @@ def apply_pretrained(variables: Dict, mcfg: ModelConfig, kind: str,
                                     conv["batch_stats"])
         return variables
 
+    if kind == "simple":
+        # SimpleMultimodalClassifier (C28): text_model + 1000-logit backbone
+        if spec.caption:
+            raise ValueError("simple 2C model has no caption branch")
+        if spec.text:
+            variables = _splice(
+                variables, "params", ("text_model",),
+                _convert_text(spec.text, mcfg.text,
+                              variables["params"]["text_model"]))
+        if spec.image:
+            bb = variables["params"]["backbone"]
+            n_cls = (bb["classifier"]["bias"].shape[0]
+                     if "classifier" in bb else 0)
+            conv = convert_image_state_dict(load_state_dict(spec.image),
+                                            mcfg.image.arch,
+                                            num_classes=n_cls)
+            variables = _splice(variables, "params", ("backbone",),
+                                conv["params"])
+            if conv["batch_stats"]:
+                variables = _splice(variables, "batch_stats", ("backbone",),
+                                    conv["batch_stats"])
+        return variables
+
     if kind == "multimodal":
         if spec.text:
             variables = _splice(

@@ -56,7 +56,10 @@ class ViT(nn.Module):
         return self.hidden_size
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_tokens: bool = False):
+        """``return_tokens=True`` returns the full normalized token sequence
+        [B, 1+N, H] (CLS + patches) — e.g. as cross-attention memory for the
+        caption decoder; default returns CLS features [B, H]."""
         B = x.shape[0]
         p = self.patch_size
         y = nn.Conv(self.hidden_size, (p, p), strides=(p, p), padding="VALID",
@@ -75,6 +78,8 @@ class ViT(nn.Module):
                                 name=f"layer_{i}")(
                 y, deterministic=not train)
         y = nn.LayerNorm(epsilon=self.ln_eps, name="ln_final")(y)
+        if return_tokens:
+            return y
         feats = y[:, 0]
         if self.num_classes:
             return nn.Dense(self.num_classes, name="classifier")(feats)

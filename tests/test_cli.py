@@ -65,3 +65,30 @@ def test_cli_baselines_2a(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "majority: acc=0.718 macro-F1=0.418" in out
     assert "ngram: acc=0.740 macro-F1=0.579" in out
+
+
+def test_cli_baselines_2c_chains_feature_svm(tmp_path, capsys):
+    """`baselines --subtask 2c` runs the full reference run_baselines chain
+    (subtask_2c.py:99-127): majority/random/ngram + extract-features →
+    imgbert feature-SVM, one command, all rows printed (VERDICT r1 item 7)."""
+    import json
+    rng = np.random.default_rng(0)
+    def make_manifest(path, n, start=0):
+        rows = [{"id": f"d/img_{start+i}.png", "img_path": f"d/img_{start+i}.png",
+                 "text": f"كلمة نص {'دعاية مهم' if (start+i) % 3 == 0 else 'عادي'} {i}",
+                 "class_label": "propaganda" if (start+i) % 3 == 0
+                 else "not_propaganda"} for i in range(n)]
+        with open(path, "w") as f:
+            json.dump(rows, f)
+    tr, de = str(tmp_path / "tr.json"), str(tmp_path / "de.json")
+    make_manifest(tr, 24)
+    make_manifest(de, 12, start=100)
+    rc = main(["baselines", "--subtask", "2c", "-tr", tr, "-te", de,
+               "-o", str(tmp_path), "--image-root", str(tmp_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    for row in ("majority", "random", "ngram", "imgbert"):
+        assert row in out
+    import os
+    assert os.path.exists(str(tmp_path / "features" / "train_feats.json"))
+    assert os.path.exists(str(tmp_path / "imgbert_baseline_2C.tsv"))

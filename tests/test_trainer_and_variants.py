@@ -166,3 +166,50 @@ def test_analysis_utilities(tmp_path):
     rep = ana.per_class_report(path, gold)
     assert rep["confusion"]["tp"] == 0
     assert rep["macro_f1"] == pytest.approx(0.41791, abs=1e-4)
+
+
+def test_simple_2c_organizer_baseline(rng):
+    """C28 (Multimodal_example_task2C.txt:152-197): last-token pooling (the
+    reference's `[:, -1, :]` bug — NOT the CLS token), resnet50-logits
+    branch, plain linear fusion, 2-class output."""
+    from mpmc_tpu.models import SimpleMultimodalClassifier
+    from mpmc_tpu.config import ModelConfig
+
+    full = ModelConfig.simple_2c()
+    assert full.caption is None and full.num_classes == 2
+    assert full.image.arch == "resnet50"
+
+    mcfg = dataclasses.replace(
+        ModelConfig.tiny_2c(), caption=None, num_classes=2)
+    model = SimpleMultimodalClassifier(mcfg, image_logits_dim=10)
+    ids = jnp.asarray(rng.integers(5, mcfg.text.vocab_size, (2, 8)),
+                      jnp.int32)
+    mask = jnp.ones_like(ids)
+    img = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    variables = model.init(jax.random.key(0), ids, mask, img)
+    out = model.apply(variables, ids, mask, img)
+    assert out.shape == (2, 2)
+    # image branch consumes raw backbone *logits* (classifier head present)
+    assert "classifier" in variables["params"]["backbone"]
+    assert (variables["params"]["backbone"]["classifier"]["bias"].shape
+            == (10,))
+
+    # the last-token bug: changing the final token changes the text branch;
+    # with last_token_pooling=False (fixed variant) it does not
+    ids2 = ids.at[:, -1].set((ids[:, -1] + 1) % mcfg.text.vocab_size)
+    out2 = model.apply(variables, ids2, mask, img)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+    fixed = SimpleMultimodalClassifier(mcfg, last_token_pooling=False,
+                                       image_logits_dim=10)
+    vfix = fixed.init(jax.random.key(0), ids, mask, img)
+    a = fixed.apply(vfix, ids, mask, img)
+    b = fixed.apply(vfix, ids2, mask, img)
+    # CLS pooling: only position 0 feeds the text branch — but attention
+    # mixes tokens, so outputs may still differ; check the *pooling* input
+    # instead by masking: with a single-token sequence both agree
+    one = jnp.ones((2, 1), jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(fixed.apply(vfix, one, jnp.ones_like(one), img)),
+        np.asarray(SimpleMultimodalClassifier(
+            mcfg, last_token_pooling=True, image_logits_dim=10
+        ).apply(vfix, one, jnp.ones_like(one), img)), rtol=1e-6)
