@@ -71,21 +71,28 @@ def _head_groups(H: int, per_head_bytes: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
-                scale, heads):
-    bias = (1.0 - mask_ref[0, 0].astype(jnp.float32)) * _NEG_INF   # [Sk]
+                heads, masked):
+    # q arrives pre-scaled by 1/sqrt(D) (folded into the host-side transpose,
+    # a [B,H,Sq,D] elementwise — 128× fewer elements than scaling the
+    # [Sq,Sk] score tile in here).  Softmax runs unnormalized: the division
+    # by the denominator is deferred to a [Sq,D] rescale of the output,
+    # saving a full [Sq,Sk] VPU pass per head.
+    if masked:
+        bias = (1.0 - mask_ref[0, 0].astype(jnp.float32)) * _NEG_INF  # [Sk]
     for h in range(heads):
         q = q_ref[0, h]                          # [Sq, D] input dtype
         k = k_ref[0, h]
         v = v_ref[0, h]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        s = s + bias[None, :]
+                                preferred_element_type=jnp.float32)
+        if masked:
+            s = s + bias[None, :]
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         denom = jnp.sum(e, axis=-1, keepdims=True)
-        p = (e / denom).astype(v.dtype)
-        o_ref[0, h] = jnp.dot(p, v, preferred_element_type=jnp.float32
-                              ).astype(o_ref.dtype)
+        o = jax.lax.dot_general(e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, h] = (o / denom).astype(o_ref.dtype)
         lse_ref[0, 0, h] = m[:, 0] + jnp.log(denom[:, 0])
 
 
@@ -98,9 +105,12 @@ def _fwd_pallas(q, k, v, mask, scale):
     groups = _head_groups(H, per_head)
     gh = H // groups                              # heads per group
     ghp = ((gh + 7) // 8) * 8                     # lse sublane padding
-    qt = jnp.transpose(q, (0, 2, 1, 3))           # [B,H,S,D]
+    # Fold the 1/sqrt(D) scale into q here: XLA fuses the multiply into the
+    # transpose's copy, so it is free relative to an in-kernel [Sq,Sk] pass.
+    qt = jnp.transpose(q, (0, 2, 1, 3)) * jnp.asarray(scale, q.dtype)
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))
+    masked = mask is not None
     if mask is None:
         mask = jnp.ones((B, Sk), dtype=jnp.float32)
 
@@ -109,7 +119,7 @@ def _fwd_pallas(q, k, v, mask, scale):
     spec_k = pl.BlockSpec((1, gh, Sk, D), lambda b, g: (b, g, 0, 0),
                           memory_space=pltpu.VMEM)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, heads=gh),
+        functools.partial(_fwd_kernel, heads=gh, masked=masked),
         grid=(B, groups),
         in_specs=[
             spec_q, spec_k, spec_k,
@@ -144,19 +154,24 @@ def _fwd_pallas(q, k, v, mask, scale):
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, scale, heads):
-    bias = (1.0 - mask_ref[0, 0].astype(jnp.float32)) * _NEG_INF
+                dq_ref, dk_ref, dv_ref, *, scale, heads, masked):
+    # q arrives pre-scaled (qs = q/sqrt(D)): s = qs·kᵀ matches the forward,
+    # dk = dsᵀ·qs absorbs the scale exactly, and only dq needs a cheap
+    # [Sq,D] rescale — this removes the [Sq,Sk] `ds * scale` VPU pass.
+    if masked:
+        bias = (1.0 - mask_ref[0, 0].astype(jnp.float32)) * _NEG_INF
     for h in range(heads):
-        q = q_ref[0, h]
+        qs = q_ref[0, h]
         k = k_ref[0, h]
         v = v_ref[0, h]
         o = o_ref[0, h].astype(jnp.float32)
         do = do_ref[0, h]
         do_f32 = do.astype(jnp.float32)
         lse = lse_ref[0, 0, h]                    # [Sq]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        s = s + bias[None, :]
+        s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if masked:
+            s = s + bias[None, :]
         p = jnp.exp(s - lse[:, None])             # [Sq, Sk] f32
         p_lo = p.astype(v.dtype)
         dv_ref[0, h] = jax.lax.dot_general(
@@ -165,11 +180,11 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, do_ref,
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         delta = jnp.sum(do_f32 * o, axis=-1, keepdims=True)
-        ds = (p * (dp - delta) * scale).astype(q.dtype)
-        dq_ref[0, h] = jnp.dot(
-            ds, k, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        ds = (p * (dp - delta)).astype(qs.dtype)
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+        dq_ref[0, h] = (dq * scale).astype(dq_ref.dtype)
         dk_ref[0, h] = jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            ds, qs, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dk_ref.dtype)
 
 
@@ -187,11 +202,12 @@ def _bwd_pallas(scale, residuals, g):
     lse = lse.reshape(B, groups, gh, Sq)
     if ghp != gh:
         lse = jnp.pad(lse, ((0, 0), (0, 0), (0, ghp - gh), (0, 0)))
-    qt = jnp.transpose(q, (0, 2, 1, 3))
+    qt = jnp.transpose(q, (0, 2, 1, 3)) * jnp.asarray(scale, q.dtype)
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))
     ot = jnp.transpose(out, (0, 2, 1, 3))
     dot_ = jnp.transpose(do, (0, 2, 1, 3))
+    masked = mask is not None
     if mask is None:
         mask_arr = jnp.ones((B, Sk), dtype=jnp.float32)
     else:
@@ -201,7 +217,7 @@ def _bwd_pallas(scale, residuals, g):
     spec_k = pl.BlockSpec((1, gh, Sk, D), lambda b, g: (b, g, 0, 0),
                           memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, heads=gh),
+        functools.partial(_bwd_kernel, scale=scale, heads=gh, masked=masked),
         grid=(B, groups),
         in_specs=[
             spec_q, spec_k, spec_k,
