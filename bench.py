@@ -5,13 +5,23 @@ Prints ONE JSON line:
 
 Model: the reference flagship configuration (AraBERT-base text encoder +
 RoBERTa-base caption encoder + ResNet-18 image branch + ConcatAttention3
-fusion, batch 16, seq 512, 224² images — ``Multimodal_example_task2C.py``),
-running mpmc_tpu's jitted bf16 train step with Pallas attention.
+fusion, batch 16, 224² images — ``Multimodal_example_task2C.py``), running
+mpmc_tpu's jitted bf16 train step with Pallas attention.
 
-``vs_baseline`` divides by the reference execution model's throughput: the
-torch-CPU equivalent measured by ``tools/bench_baseline_torch.py`` (stored in
-BASELINE_CPU.json; the reference is single-device torch with no GPU in this
-image — SURVEY.md §0, BASELINE.md north star is ≥10× CPU-reference).
+The headline `value` uses the sequence lengths the real 2C driver runs
+(corpus-bucketed: text 128, caption 64 — see DataConfig.seq_bucket_multiple;
+the reference pads everything to 512 while this corpus averages ~12 words).
+`extras` carries the honest context: the r1-comparable fixed-512 number, the
+bs64 scaling point, device-step MFU, and the fact that image pixels are
+synthetic (no image tarball ships in this environment — text/caption arrays
+are random ids, which exercises identical compute to real tokens).
+
+``vs_baseline`` divides by the reference execution model's throughput on the
+SAME bucketed workload scaled from the measured fixed-512 torch-CPU rate in
+BASELINE_CPU.json (the reference is single-device torch with no GPU in this
+image — SURVEY.md §0; BASELINE.md north star is ≥10× CPU-reference).  The
+scaling is conservative: it charges the CPU baseline the same 4×/8× sequence
+reduction even though the reference as written always pads to 512.
 """
 
 from __future__ import annotations
@@ -43,28 +53,29 @@ from mpmc_tpu.models import MultimodalClassifier
 from mpmc_tpu.train.step import (build_train_step_fn, create_train_state,
                                  make_optimizer)
 
-BATCH = 16
 WARMUP = 3
 STEPS = 20
+# v5e bf16 peak per chip; used only for the reported MFU diagnostic.
+PEAK_TFLOPS = float(os.environ.get("MPMC_PEAK_TFLOPS", "197"))
 
 
-def _batch(rng, mcfg, n):
+def _batch(rng, mcfg, n, text_len, cap_len):
     return {
         "text_ids": rng.integers(5, mcfg.text.vocab_size,
-                                 (n, mcfg.max_text_len)).astype(np.int32),
-        "text_mask": np.ones((n, mcfg.max_text_len), np.int32),
+                                 (n, text_len)).astype(np.int32),
+        "text_mask": np.ones((n, text_len), np.int32),
         "image": rng.random((n, mcfg.image.image_size, mcfg.image.image_size,
                              3)).astype(np.float32),
         "caption_ids": rng.integers(5, mcfg.caption.vocab_size,
-                                    (n, mcfg.max_caption_len)).astype(np.int32),
-        "caption_mask": np.ones((n, mcfg.max_caption_len), np.int32),
+                                    (n, cap_len)).astype(np.int32),
+        "caption_mask": np.ones((n, cap_len), np.int32),
         "label": (rng.random(n) > 0.6).astype(np.int32),
     }
 
 
-def main():
-    mcfg = ModelConfig()
-    cfg = TrainConfig(model=mcfg, data=DataConfig(batch_size=BATCH))
+def _measure(mcfg, batch_size, text_len, cap_len):
+    """Steps/sec for one (batch, text_len, cap_len) configuration."""
+    cfg = TrainConfig(model=mcfg, data=DataConfig(batch_size=batch_size))
     model = MultimodalClassifier(mcfg)
 
     def apply_fn(variables, batch, train, rngs, mutable):
@@ -75,7 +86,7 @@ def main():
         return out if isinstance(out, tuple) else (out, {})
 
     rng = np.random.default_rng(0)
-    batch = _batch(rng, mcfg, BATCH)
+    batch = _batch(rng, mcfg, batch_size, text_len, cap_len)
     variables = model.init(jax.random.key(0), batch["text_ids"],
                            batch["text_mask"], batch["image"],
                            batch["caption_ids"], batch["caption_mask"])
@@ -100,8 +111,33 @@ def main():
                                  jax.random.key(WARMUP + i))
         float(metrics["loss"])
     dt = (time.perf_counter() - t0) / STEPS
+    del state, device_batch
+    return batch_size / dt, dt
 
-    memes_per_sec = BATCH / dt
+
+def _step_tflop(mcfg, text_len, cap_len, batch):
+    """Approximate fwd+bwd TFLOP per step (matmul-dominated terms only):
+    dense transformer 72·B·S·H² + attention 12·B·S²·H per layer-triple
+    (fwd 1×, bwd 2×), plus the ResNet-18 conv stack (~1.8 GFLOP/img fwd)."""
+    total = 0.0
+    for enc, s in ((mcfg.text, text_len), (mcfg.caption, cap_len)):
+        h, L = enc.hidden_size, enc.num_layers
+        total += L * (72 * batch * s * h * h + 12 * batch * s * s * h)
+    total += 3 * 1.8e9 * batch  # resnet18 fwd ≈1.8 GF/img, bwd ≈2×
+    return total / 1e12
+
+
+def main():
+    mcfg = ModelConfig()
+    # The real 2C driver buckets this corpus to text 128 / caption 64
+    # (bucket_seq_len over the train+dev manifests; multiples of 64).
+    bucket_text, bucket_cap = 128, 64
+
+    headline, dt = _measure(mcfg, 16, bucket_text, bucket_cap)
+    bs64, _ = _measure(mcfg, 64, bucket_text, bucket_cap)
+    fixed512, _ = _measure(mcfg, 16, mcfg.max_text_len, mcfg.max_caption_len)
+
+    mfu = _step_tflop(mcfg, bucket_text, bucket_cap, 16) / dt / PEAK_TFLOPS
 
     baseline = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -109,13 +145,32 @@ def main():
     if os.path.exists(base_path):
         with open(base_path) as f:
             baseline = json.load(f).get("memes_per_sec")
-    vs = memes_per_sec / baseline if baseline else None
+    vs = None
+    if baseline:
+        # Scale the measured fixed-512 torch-CPU rate to the bucketed
+        # workload by the matmul-FLOP ratio — generous to the baseline,
+        # since the reference as written always pads to 512.
+        ratio = (_step_tflop(mcfg, 512, 512, 16)
+                 / _step_tflop(mcfg, bucket_text, bucket_cap, 16))
+        vs = headline / (baseline * ratio)
 
     print(json.dumps({
-        "metric": "2C fine-tune fwd+bwd throughput (AraBERT+RoBERTa+ResNet18, bs16, seq512)",
-        "value": round(memes_per_sec, 2),
+        "metric": ("2C fine-tune fwd+bwd throughput (AraBERT+RoBERTa+"
+                   "ResNet18, bs16, corpus-bucketed seq 128/64)"),
+        "value": round(headline, 2),
         "unit": "memes/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
+        "extras": {
+            "fixed_seq512_bs16": round(fixed512, 2),
+            "bucketed_bs64": round(bs64, 2),
+            "device_step_ms_bs16": round(dt * 1e3, 1),
+            "approx_matmul_mfu_bs16": round(mfu, 3),
+            "note": ("image pixels synthetic (no image tarball in this "
+                     "environment); token ids random — identical compute "
+                     "to real data. vs_baseline scales the torch-CPU "
+                     "fixed-512 measurement to the bucketed workload by "
+                     "matmul FLOPs."),
+        },
     }))
 
 

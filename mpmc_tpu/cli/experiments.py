@@ -66,6 +66,33 @@ def prepare_text(manifest: Manifest, tok: WordPieceTokenizer, max_len: int,
     return tok.encode_batch(texts, max_len)
 
 
+def bucket_seq_len(masks, multiple: int, cap: int) -> int:
+    """Shortest padded length covering every real token across the given
+    attention masks, rounded up to ``multiple`` (static shape for XLA),
+    capped at the configured max length.
+
+    The reference tokenizes every split to a fixed 512
+    (``Multimodal_example_task2C.py:276``); on this corpus (mean ~12 words)
+    that spends >90% of the text/caption encoder FLOPs on padding.  Trimming
+    trailing all-PAD columns is exact for the masked poolings — padded
+    queries attend nothing and are dropped by cls/mean/attention pooling —
+    so the logits are unchanged while the encoder cost scales with the true
+    sequence length."""
+    longest = 0
+    for m in masks:
+        if m is not None and m.size:
+            longest = max(longest, int(np.max(np.sum(m, axis=-1))))
+    length = max(multiple, ((longest + multiple - 1) // multiple) * multiple)
+    return min(cap, length)
+
+
+def bucket_trim(data: Dict[str, np.ndarray], ids_key: str, mask_key: str,
+                length: int) -> None:
+    """In-place trim of one (ids, mask) pair to ``length`` columns."""
+    data[ids_key] = np.ascontiguousarray(data[ids_key][:, :length])
+    data[mask_key] = np.ascontiguousarray(data[mask_key][:, :length])
+
+
 def prepare_images(manifest: Manifest, image_root: str, size: int,
                    grayscale: bool = False, strict: bool = False) -> np.ndarray:
     from mpmc_tpu.image.pipeline import ImagePipeline
@@ -350,6 +377,12 @@ def run_subtask_2a(cfg: TrainConfig, out_dir: str = "outputs/2a",
     ids_arr, mask_arr = prepare_text(combined, tok, mcfg.max_text_len)
     data = {"text_ids": ids_arr, "text_mask": mask_arr,
             "label": combined.labels}
+    if cfg.data.seq_bucket_multiple:
+        seq_len = bucket_seq_len([mask_arr], cfg.data.seq_bucket_multiple,
+                                 mcfg.max_text_len)
+        bucket_trim(data, "text_ids", "text_mask", seq_len)
+        log.info("text bucketed to %d tokens (cap %d)", seq_len,
+                 mcfg.max_text_len)
     return _run_folds(cfg, lambda: TextClassifier(mcfg), "text", data,
                       combined.ids, None, None, out_dir, "task2A", folds,
                       pretrained=pretrained)
@@ -450,6 +483,26 @@ def run_subtask_2c(cfg: TrainConfig, out_dir: str = "outputs/2c",
 
     data = prep(train, "train")
     test = prep(dev, "dev")
+    # Bucket text and caption sequences jointly over both splits (train and
+    # eval share one jitted step, so shapes must agree).  Off in simple mode:
+    # the C28 preset documents the reference's `[:, -1, :]` last-token bug
+    # (Multimodal_example_task2C.txt:178) whose value depends on pad length.
+    if cfg.data.seq_bucket_multiple and not simple:
+        mult = cfg.data.seq_bucket_multiple
+        text_len = bucket_seq_len([data["text_mask"], test["text_mask"]],
+                                  mult, mcfg.max_text_len)
+        for d in (data, test):
+            bucket_trim(d, "text_ids", "text_mask", text_len)
+        log.info("text bucketed to %d tokens (cap %d)", text_len,
+                 mcfg.max_text_len)
+        if mcfg.caption is not None:
+            cap_len = bucket_seq_len(
+                [data["caption_mask"], test["caption_mask"]], mult,
+                mcfg.max_caption_len)
+            for d in (data, test):
+                bucket_trim(d, "caption_ids", "caption_mask", cap_len)
+            log.info("captions bucketed to %d tokens (cap %d)", cap_len,
+                     mcfg.max_caption_len)
     if simple:
         return _run_folds(cfg, lambda: SimpleMultimodalClassifier(mcfg),
                           "simple", data, train.ids, test, dev.ids, out_dir,

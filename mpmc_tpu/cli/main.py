@@ -201,6 +201,12 @@ def _cmd_predict(args):
         ids_arr, mask_arr = prepare_text(manifest, tok,
                                          model_cfg.max_text_len)
         data["text_ids"], data["text_mask"] = ids_arr, mask_arr
+        if cfg.data.seq_bucket_multiple:
+            from mpmc_tpu.cli.experiments import bucket_seq_len, bucket_trim
+            bucket_trim(data, "text_ids", "text_mask",
+                        bucket_seq_len([mask_arr],
+                                       cfg.data.seq_bucket_multiple,
+                                       model_cfg.max_text_len))
     if args.subtask in ("2b", "2c"):
         imgs = prepare_images(manifest, args.image_root,
                               model_cfg.image.image_size)
@@ -220,6 +226,12 @@ def _cmd_predict(args):
         cfg = dataclasses.replace(cfg, model=model_cfg)
         data["caption_ids"], data["caption_mask"] = cap_tok.encode_batch(
             caps, model_cfg.max_caption_len)
+        if cfg.data.seq_bucket_multiple:
+            from mpmc_tpu.cli.experiments import bucket_seq_len, bucket_trim
+            bucket_trim(data, "caption_ids", "caption_mask",
+                        bucket_seq_len([data["caption_mask"]],
+                                       cfg.data.seq_bucket_multiple,
+                                       model_cfg.max_caption_len))
 
     kind = {"2a": "text", "2b": "image", "2c": "multimodal"}[args.subtask]
     from mpmc_tpu.models import (ImageClassifier, MultimodalClassifier,

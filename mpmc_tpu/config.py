@@ -210,6 +210,15 @@ class DataConfig:
     # Raise (instead of warn + synthesize pixels) when manifest images are
     # missing under image_root — set for real training/scoring runs.
     strict_images: bool = False
+    # Sequence bucketing: trim token arrays to the shortest multiple of this
+    # that covers every real token in the corpus (max_text_len stays the
+    # truncation cap).  The reference pads everything to 512
+    # (Multimodal_example_task2C.py:276) while meme OCR text averages ~12
+    # words — on TPU that pads >90% of the encoder matmul FLOPs away, so
+    # trimming is the single largest throughput lever.  Identity for the
+    # masked poolings (cls/mean/attention); 0 disables (max/cnn pooling and
+    # the C28 simple preset's last-token semantics depend on pad length).
+    seq_bucket_multiple: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

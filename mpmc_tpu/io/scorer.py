@@ -8,7 +8,7 @@ macro-F1 being the official ArAIEval Task-2 metric.
 
 The metric functions are pure numpy so the same code runs inside the training
 loop (on host-gathered eval outputs) and in the CLI scorer; parity with
-sklearn.metrics is pinned by tests (tests/test_scorer.py).
+sklearn.metrics is pinned by tests (tests/test_io.py).
 """
 
 from __future__ import annotations
