@@ -102,14 +102,17 @@ def _measure(mcfg, batch_size, text_len, cap_len):
         state, metrics = step_fn(state, device_batch, jax.random.key(i))
         float(metrics["loss"])
 
-    # Host-materialize the loss every step: on the tunneled axon runtime
-    # block_until_ready does not reliably block, so a float() pull is the
-    # only trustworthy sync point.
+    # Sync once at the END of the timed window: every step consumes the
+    # previous step's state, so materializing the final loss (the only
+    # trustworthy sync on the tunneled axon runtime — block_until_ready
+    # does not reliably block) forces the whole chain.  A per-step float()
+    # pull instead measures tunnel RPC latency (~100 ms/step), which the
+    # real train loop amortizes via windowed metric fetch (train/loop.py).
     t0 = time.perf_counter()
     for i in range(STEPS):
         state, metrics = step_fn(state, device_batch,
                                  jax.random.key(WARMUP + i))
-        float(metrics["loss"])
+    float(metrics["loss"])
     dt = (time.perf_counter() - t0) / STEPS
     del state, device_batch
     return batch_size / dt, dt
