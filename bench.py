@@ -51,7 +51,7 @@ except Exception:
 from mpmc_tpu.config import DataConfig, ModelConfig, TrainConfig
 from mpmc_tpu.models import MultimodalClassifier
 from mpmc_tpu.train.step import (build_train_step_fn, create_train_state,
-                                 make_optimizer)
+                                 make_optimizer, make_scan_train_step)
 
 WARMUP = 3
 STEPS = 20
@@ -73,9 +73,15 @@ def _batch(rng, mcfg, n, text_len, cap_len):
     }
 
 
-def _measure(mcfg, batch_size, text_len, cap_len):
-    """Steps/sec for one (batch, text_len, cap_len) configuration."""
-    cfg = TrainConfig(model=mcfg, data=DataConfig(batch_size=batch_size))
+def _measure(mcfg, batch_size, text_len, cap_len, scan_k=1):
+    """Steps/sec for one (batch, text_len, cap_len) configuration.
+
+    ``scan_k > 1`` measures the dispatch-amortized path the train loop uses
+    with cfg.scan_steps: K optimizer steps fused into one lax.scan dispatch
+    (train/step.make_scan_train_step) — on a tunneled chip each executable
+    launch costs a host round-trip that per-step dispatch cannot hide."""
+    cfg = TrainConfig(model=mcfg, data=DataConfig(batch_size=batch_size),
+                      scan_steps=max(scan_k, 1))
     model = MultimodalClassifier(mcfg)
 
     def apply_fn(variables, batch, train, rngs, mutable):
@@ -94,13 +100,19 @@ def _measure(mcfg, batch_size, text_len, cap_len):
     state, _ = create_train_state(variables, tx)
     # Donation lets XLA update params/opt-state in place — ~30ms/step less
     # HBM traffic at this model size (measured).
-    step_fn = jax.jit(build_train_step_fn(apply_fn, cfg, tx),
-                      donate_argnums=(0,))
+    if scan_k > 1:
+        step_fn = make_scan_train_step(apply_fn, cfg, tx)
+        batch = {k: np.broadcast_to(v, (scan_k,) + v.shape).copy()
+                 for k, v in batch.items()}
+    else:
+        step_fn = jax.jit(build_train_step_fn(apply_fn, cfg, tx),
+                          donate_argnums=(0,))
+    dispatches = max(STEPS // scan_k, 3) if scan_k > 1 else STEPS
 
     device_batch = jax.device_put(batch)
     for i in range(WARMUP):
         state, metrics = step_fn(state, device_batch, jax.random.key(i))
-        float(metrics["loss"])
+        float(np.ravel(metrics["loss"])[-1])
 
     # Sync once at the END of the timed window: every step consumes the
     # previous step's state, so materializing the final loss (the only
@@ -109,11 +121,11 @@ def _measure(mcfg, batch_size, text_len, cap_len):
     # pull instead measures tunnel RPC latency (~100 ms/step), which the
     # real train loop amortizes via windowed metric fetch (train/loop.py).
     t0 = time.perf_counter()
-    for i in range(STEPS):
+    for i in range(dispatches):
         state, metrics = step_fn(state, device_batch,
                                  jax.random.key(WARMUP + i))
-    float(metrics["loss"])
-    dt = (time.perf_counter() - t0) / STEPS
+    float(np.ravel(metrics["loss"])[-1])
+    dt = (time.perf_counter() - t0) / (dispatches * scan_k)
     del state, device_batch
     return batch_size / dt, dt
 
@@ -135,9 +147,11 @@ def main():
     # The real 2C driver buckets this corpus to text 128 / caption 64
     # (bucket_seq_len over the train+dev manifests; multiples of 64).
     bucket_text, bucket_cap = 128, 64
+    scan_k = int(os.environ.get("MPMC_BENCH_SCAN", "8"))
 
-    headline, dt = _measure(mcfg, 16, bucket_text, bucket_cap)
-    bs64, _ = _measure(mcfg, 64, bucket_text, bucket_cap)
+    headline, dt = _measure(mcfg, 16, bucket_text, bucket_cap, scan_k=scan_k)
+    per_step16, _ = _measure(mcfg, 16, bucket_text, bucket_cap)
+    bs64, _ = _measure(mcfg, 64, bucket_text, bucket_cap, scan_k=scan_k)
     fixed512, _ = _measure(mcfg, 16, mcfg.max_text_len, mcfg.max_caption_len)
 
     mfu = _step_tflop(mcfg, bucket_text, bucket_cap, 16) / dt / PEAK_TFLOPS
@@ -159,18 +173,22 @@ def main():
 
     print(json.dumps({
         "metric": ("2C fine-tune fwd+bwd throughput (AraBERT+RoBERTa+"
-                   "ResNet18, bs16, corpus-bucketed seq 128/64)"),
+                   "ResNet18, bs16, corpus-bucketed seq 128/64, "
+                   f"scan-fused dispatch x{scan_k})"),
         "value": round(headline, 2),
         "unit": "memes/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
         "extras": {
+            "per_step_dispatch_bs16": round(per_step16, 2),
             "fixed_seq512_bs16": round(fixed512, 2),
-            "bucketed_bs64": round(bs64, 2),
-            "device_step_ms_bs16": round(dt * 1e3, 1),
+            "bucketed_bs64_scan": round(bs64, 2),
+            "step_ms_bs16": round(dt * 1e3, 1),
             "approx_matmul_mfu_bs16": round(mfu, 3),
             "note": ("image pixels synthetic (no image tarball in this "
                      "environment); token ids random — identical compute "
-                     "to real data. vs_baseline scales the torch-CPU "
+                     "to real data. scan-fused = cfg.scan_steps (K "
+                     "optimizer steps per device dispatch, the production "
+                     "train-loop path). vs_baseline scales the torch-CPU "
                      "fixed-512 measurement to the bucketed workload by "
                      "matmul FLOPs."),
         },

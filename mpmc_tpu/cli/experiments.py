@@ -168,7 +168,8 @@ def _init_and_steps(model, cfg: TrainConfig, train_data, kind: str,
     import numpy as np
     from mpmc_tpu.models.pretrained import apply_pretrained
     from mpmc_tpu.train.step import (create_train_state, make_eval_step,
-                                     make_optimizer, make_train_step)
+                                     make_optimizer, make_scan_train_step,
+                                     make_train_step)
 
     ex = {k: v[:2] for k, v in train_data.items() if k != "valid"}
     if "image" in ex and ex["image"].dtype == np.uint8:
@@ -194,8 +195,10 @@ def _init_and_steps(model, cfg: TrainConfig, train_data, kind: str,
     apply_fn = make_apply_fn(model, kind, augment_images=augment,
                              grayscale=grayscale,
                              eval_transform_only=eval_transform_only)
+    scan_step = (make_scan_train_step(apply_fn, cfg, tx)
+                 if cfg.scan_steps > 1 else None)
     return (state, make_train_step(apply_fn, cfg, tx),
-            make_eval_step(apply_fn, cfg))
+            make_eval_step(apply_fn, cfg), scan_step)
 
 
 def _select(data: Dict[str, np.ndarray], idx) -> Dict[str, np.ndarray]:
@@ -228,20 +231,24 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
     # Plain data parallelism (SURVEY.md §2.3): batch sharded over the `data`
     # mesh axis, params replicated; the prefetch thread in train.loop runs
     # `put` so the sharded H2D copy overlaps the previous step's compute.
-    put, place_state = (lambda b: b), (lambda s: s)
+    put, put_stacked, place_state = (lambda b: b), None, (lambda s: s)
     if cfg.mesh.num_fold_shards <= 1 and cfg.mesh.num_data_shards > 1:
         import jax
         from mpmc_tpu.parallel.mesh import (batch_sharding, make_mesh,
-                                            replicated_sharding)
+                                            replicated_sharding,
+                                            stacked_batch_sharding)
         if cfg.data.batch_size % cfg.mesh.num_data_shards:
             raise ValueError(
                 f"batch_size={cfg.data.batch_size} not divisible by "
                 f"num_data_shards={cfg.mesh.num_data_shards}")
         dp_mesh = make_mesh(cfg.mesh)
         bsh = batch_sharding(dp_mesh, cfg.mesh.data_axis)
+        ssh = stacked_batch_sharding(dp_mesh, cfg.mesh.data_axis)
         repl = replicated_sharding(dp_mesh)
         put = lambda b: jax.tree_util.tree_map(  # noqa: E731
             lambda x: jax.device_put(x, bsh), b)
+        put_stacked = lambda b: jax.tree_util.tree_map(  # noqa: E731
+            lambda x: jax.device_put(x, ssh), b)
         place_state = lambda s: jax.device_put(s, repl)  # noqa: E731
     results, prob_paths = [], []
     for k, (tr_idx, va_idx) in enumerate(splits):
@@ -253,7 +260,7 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
         t_data = test_data if test_data is not None else val_d
         t_ids = test_ids if test_ids is not None else [ids[i] for i in va_idx]
         model = model_factory()
-        state, train_step, eval_step = _init_and_steps(
+        state, train_step, eval_step, scan_step = _init_and_steps(
             model, cfg, train_d, kind, augment=augment, grayscale=grayscale,
             pretrained=pretrained, eval_transform_only=eval_transform_only)
         state = place_state(state)
@@ -267,7 +274,8 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
                   test_data=t_data, val_data=val_d, test_ids=t_ids,
                   val_ids=[ids[i] for i in va_idx],
                   fold=k, tsv_prefix=prefix, put=put,
-                  checkpointer=checkpointer)
+                  checkpointer=checkpointer,
+                  scan_train_step=scan_step, put_stacked=put_stacked)
         if checkpointer is not None:
             checkpointer.wait()
         results.append(res)

@@ -115,7 +115,8 @@ def _cmd_train(args):
                       num_data_shards=args.data_shards)
     cfg = TrainConfig(model=model, data=data, mesh=mesh, epochs=args.epochs,
                       learning_rate=args.lr,
-                      checkpoint_dir=args.checkpoint_dir)
+                      checkpoint_dir=args.checkpoint_dir,
+                      scan_steps=args.scan_steps)
     pretrained = PretrainedSpec(text=args.text_params,
                                 caption=args.caption_params,
                                 image=args.image_params)
@@ -244,7 +245,7 @@ def _cmd_predict(args):
     else:
         model = MultimodalClassifier(model_cfg)
     dummy_labels = dict(data, label=np.zeros(len(manifest), np.int32))
-    state, _, eval_step = _init_and_steps(model, cfg, dummy_labels, kind)
+    state, _, eval_step, _ = _init_and_steps(model, cfg, dummy_labels, kind)
     if args.checkpoint:
         from mpmc_tpu.train.checkpoint import Checkpointer
         ckpt = Checkpointer(args.checkpoint)
@@ -423,6 +424,10 @@ def main(argv=None):
                         "backbone (resnet18/50, ViT, ConvNeXt)")
     p.add_argument("--checkpoint-dir", default=None,
                    help="orbax checkpoint dir (also receives vocab files)")
+    p.add_argument("--scan-steps", type=int, default=1,
+                   help=">1 fuses this many optimizer steps into one jitted "
+                        "lax.scan dispatch (amortizes per-launch host "
+                        "round-trips on remote TPU links)")
     p.add_argument("--data-shards", type=int, default=1,
                    help=">1 shards each batch over a `data` mesh axis (DP)")
     p.add_argument("--fold-shards", type=int, default=1,

@@ -272,3 +272,12 @@ class TrainConfig:
     emit_val_tsv: bool = False  # 2A also dumps val-split TSVs (:464-468)
     checkpoint_dir: Optional[str] = None
     resume: bool = False
+    # Dispatch amortization: fuse this many optimizer steps into ONE jitted
+    # lax.scan dispatch (train/step.make_scan_train_step).  Over a remote
+    # TPU link each executable launch costs a host round-trip; scanning K
+    # steps pays it once per K.  Semantics-preserving: per-step losses,
+    # grad norms, eval cadence and log cadence are unchanged (scan groups
+    # never straddle an eval boundary — train/loop._scan_group_plan); only
+    # the dropout key derivation differs (jax.random.split(key, K) per
+    # group vs sequential splits).  1 = one dispatch per step.
+    scan_steps: int = 1

@@ -49,6 +49,14 @@ def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(data_axis))
 
 
+def stacked_batch_sharding(mesh: Mesh, data_axis: str = "data"
+                           ) -> NamedSharding:
+    """Sharding for a scan-fused [K, B, ...] batch stack: the leading axis
+    is the scan (time) axis and must stay whole on every device; the batch
+    axis (axis 1) shards over the data axis (train.step.make_scan_train_step)."""
+    return NamedSharding(mesh, P(None, data_axis))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -100,6 +100,45 @@ def prefetch_batches(it: Iterator[Tuple[Dict[str, np.ndarray], int]],
         raise errs[0]
 
 
+def _scan_group_plan(steps_per_epoch: int, check_interval: int, k: int,
+                     eval_on: bool) -> List[int]:
+    """Group sizes for one epoch of scan-fused dispatch: full-K groups plus
+    remainders, with groups never straddling an eval boundary so the eval
+    cadence (``bi % check_interval == 0`` or epoch end) is bit-identical to
+    per-step dispatch.  Remainder groups (size < K) are executed by the
+    single-step path — at most two compiled executables total."""
+    if eval_on:
+        ends = [i for i in range(1, steps_per_epoch + 1)
+                if i % check_interval == 0 or i == steps_per_epoch]
+    else:
+        ends = [steps_per_epoch]
+    plan, prev = [], 0
+    for e in ends:
+        seg = e - prev
+        plan += [k] * (seg // k)
+        if seg % k:
+            plan.append(seg % k)
+        prev = e
+    return plan
+
+
+def _scan_groups(it: Iterator[Tuple[Dict[str, np.ndarray], int]],
+                 plan: List[int], k: int,
+                 ) -> Iterator[Tuple[Dict[str, np.ndarray], object]]:
+    """Chunk the per-step batch iterator according to ``plan``: full-K
+    groups are stacked on a leading axis (yielded with the list of per-step
+    n_valid), smaller groups fall through as single steps."""
+    for size in plan:
+        items = [next(it) for _ in range(size)]
+        if size == k:
+            stacked = {key: np.stack([b[key] for b, _ in items])
+                       for key in items[0][0]}
+            yield stacked, [n for _, n in items]
+        else:
+            for b, n in items:
+                yield b, n
+
+
 @dataclasses.dataclass
 class EvalResult:
     loss: float
@@ -152,16 +191,28 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
         put: Callable = lambda b: b,
         tsv_prefix: Optional[str] = None,
         log_every: int = 10,
-        checkpointer=None) -> FitResult:
+        checkpointer=None,
+        scan_train_step=None,
+        put_stacked: Optional[Callable] = None) -> FitResult:
     """Epoch loop with the reference's cadence: loss/LR/grad-norm logging
     every ``log_every`` steps, eval ``cfg.eval_per_epoch`` times per epoch,
-    best-test-F1-triggered TSV dump."""
+    best-test-F1-triggered TSV dump.
+
+    With ``scan_train_step`` (train.step.make_scan_train_step) and
+    ``cfg.scan_steps > 1``, full groups of K steps run as ONE device
+    dispatch; ``put_stacked`` places a [K, B, ...] batch pytree (under DP it
+    must shard axis 1, not axis 0 — parallel.mesh.stacked_batch_sharding).
+    """
     bs = cfg.data.batch_size
     n_train = len(train_data["label"])
     steps_per_epoch = (n_train + bs - 1) // bs
     check_interval = max(steps_per_epoch // max(cfg.eval_per_epoch, 1), 1)
     data_rng = np.random.default_rng(cfg.seed + fold)
     dropout_key = jax.random.key(cfg.seed + fold)
+    scan_k = cfg.scan_steps if scan_train_step is not None else 1
+    use_scan = scan_k > 1
+    if use_scan and put_stacked is None:
+        put_stacked = put
 
     best_f1, best_thr, best_probs = -1.0, 0.5, None
     history: List[Dict] = []
@@ -188,34 +239,52 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
             return
         fetched = jax.device_get([p[2] for p in pending])
         for (ep, bi_, _, host_batch), m in zip(pending, fetched):
-            loss_val = float(m["loss"])
-            gnorm = float(m["grad_norm"])
-            if not np.isfinite(loss_val):
-                dump = f"nonfinite_fold{fold}_epoch{ep}_batch{bi_}.npz"
-                np.savez(dump, **{k: np.asarray(v)
-                                  for k, v in host_batch.items()},
-                         grad_norm=gnorm)
-                pending.clear()
-                raise FloatingPointError(
-                    f"non-finite loss at epoch {ep} batch {bi_} "
-                    f"(grad_norm={gnorm:.3e}); batch dumped to {dump}")
-            losses.append(loss_val)
-            last_grad_norm = gnorm
+            # Scan-fused groups return stacked [K] metrics; per-step
+            # dispatch returns scalars.  bi_ is the LAST step of the group.
+            loss_vec = np.atleast_1d(np.asarray(m["loss"], np.float64))
+            gnorm_vec = np.atleast_1d(np.asarray(m["grad_norm"], np.float64))
+            for j, (loss_val, gnorm) in enumerate(zip(loss_vec, gnorm_vec)):
+                if not np.isfinite(loss_val):
+                    step_bi = bi_ - (len(loss_vec) - 1 - j)
+                    dump = f"nonfinite_fold{fold}_epoch{ep}_batch{step_bi}.npz"
+                    np.savez(dump, **{k: np.asarray(v)
+                                      for k, v in host_batch.items()},
+                             grad_norm=gnorm)
+                    pending.clear()
+                    raise FloatingPointError(
+                        f"non-finite loss at epoch {ep} batch {step_bi} "
+                        f"(grad_norm={gnorm:.3e}); batch dumped to {dump}")
+                losses.append(float(loss_val))
+            last_grad_norm = float(gnorm_vec[-1])
         pending.clear()
 
     for epoch in range(cfg.epochs):
         t0 = time.time()
         losses = []
-        for bi, (dev_batch, host_batch, n_valid) in enumerate(
-                prefetch_batches(
-                    batch_iter(train_data, bs, shuffle=True, rng=data_rng,
-                               with_valid=True), put), 1):
+        step_it = batch_iter(train_data, bs, shuffle=True, rng=data_rng,
+                             with_valid=True)
+        if use_scan:
+            plan = _scan_group_plan(steps_per_epoch, check_interval, scan_k,
+                                    eval_on=test_data is not None)
+            grouped = _scan_groups(step_it, plan, scan_k)
+            put_fn = (lambda b: put_stacked(b)
+                      if b["label"].ndim == 2 else put(b))
+        else:
+            grouped, put_fn = step_it, put
+        bi = 0
+        for dev_batch, host_batch, n_valid in prefetch_batches(
+                grouped, put_fn):
+            group_size = len(n_valid) if isinstance(n_valid, list) else 1
             dropout_key, sub = jax.random.split(dropout_key)
-            state, metrics = train_step(state, dev_batch, sub)
-            step_count += 1
-            timer.tick()
+            if group_size > 1:
+                state, metrics = scan_train_step(state, dev_batch, sub)
+            else:
+                state, metrics = train_step(state, dev_batch, sub)
+            prev_bi, bi = bi, bi + group_size
+            step_count += group_size
+            timer.tick(group_size)
             pending.append((epoch, bi, metrics, host_batch))
-            if bi % log_every == 0:
+            if bi // log_every > prev_bi // log_every:
                 flush_metrics()
                 log.info(
                     "TRAIN | Epoch [%d] | Batch [%d/%d] | Loss: %.4f | "

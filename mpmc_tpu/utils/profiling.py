@@ -33,10 +33,13 @@ class StepTimer:
         self.times: Deque[float] = deque(maxlen=window)
         self._last: Optional[float] = None
 
-    def tick(self) -> None:
+    def tick(self, n: int = 1) -> None:
+        """Record one dispatch covering ``n`` optimizer steps (scan-fused
+        groups amortize their wall time over the steps they contain)."""
         now = time.perf_counter()
         if self._last is not None:
-            self.times.append(now - self._last)
+            dt = (now - self._last) / max(n, 1)
+            self.times.extend([dt] * max(n, 1))
         self._last = now
 
     def stats(self, batch_size: int = 1) -> Dict[str, float]:

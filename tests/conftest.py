@@ -25,6 +25,9 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped: every test sees the same stream regardless of which
+    # other tests ran before it (a session-scoped generator made outcomes
+    # depend on test-collection order).
     return np.random.default_rng(0)
