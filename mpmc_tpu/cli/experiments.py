@@ -168,8 +168,8 @@ def _init_and_steps(model, cfg: TrainConfig, train_data, kind: str,
     import numpy as np
     from mpmc_tpu.models.pretrained import apply_pretrained
     from mpmc_tpu.train.step import (create_train_state, make_eval_step,
-                                     make_optimizer, make_scan_train_step,
-                                     make_train_step)
+                                     make_optimizer, make_scan_eval_step,
+                                     make_scan_train_step, make_train_step)
 
     ex = {k: v[:2] for k, v in train_data.items() if k != "valid"}
     if "image" in ex and ex["image"].dtype == np.uint8:
@@ -195,10 +195,12 @@ def _init_and_steps(model, cfg: TrainConfig, train_data, kind: str,
     apply_fn = make_apply_fn(model, kind, augment_images=augment,
                              grayscale=grayscale,
                              eval_transform_only=eval_transform_only)
-    scan_step = (make_scan_train_step(apply_fn, cfg, tx)
-                 if cfg.scan_steps > 1 else None)
+    scan_step = scan_eval = None
+    if cfg.scan_steps > 1:
+        scan_step = make_scan_train_step(apply_fn, cfg, tx)
+        scan_eval = make_scan_eval_step(apply_fn, cfg)
     return (state, make_train_step(apply_fn, cfg, tx),
-            make_eval_step(apply_fn, cfg), scan_step)
+            make_eval_step(apply_fn, cfg), scan_step, scan_eval)
 
 
 def _select(data: Dict[str, np.ndarray], idx) -> Dict[str, np.ndarray]:
@@ -260,7 +262,7 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
         t_data = test_data if test_data is not None else val_d
         t_ids = test_ids if test_ids is not None else [ids[i] for i in va_idx]
         model = model_factory()
-        state, train_step, eval_step, scan_step = _init_and_steps(
+        state, train_step, eval_step, scan_step, scan_eval = _init_and_steps(
             model, cfg, train_d, kind, augment=augment, grayscale=grayscale,
             pretrained=pretrained, eval_transform_only=eval_transform_only)
         state = place_state(state)
@@ -275,7 +277,8 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
                   val_ids=[ids[i] for i in va_idx],
                   fold=k, tsv_prefix=prefix, put=put,
                   checkpointer=checkpointer,
-                  scan_train_step=scan_step, put_stacked=put_stacked)
+                  scan_train_step=scan_step, scan_eval_step=scan_eval,
+                  put_stacked=put_stacked)
         if checkpointer is not None:
             checkpointer.wait()
         results.append(res)

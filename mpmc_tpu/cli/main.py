@@ -150,7 +150,6 @@ def _cmd_predict(args):
     from mpmc_tpu.config import DataConfig, ModelConfig, TrainConfig
     from mpmc_tpu.io.manifest import read_manifest
     from mpmc_tpu.io.tsv import write_label_tsv, write_prob_tsv
-    from mpmc_tpu.train.loop import batch_iter
 
     import dataclasses
     import os
@@ -170,7 +169,9 @@ def _cmd_predict(args):
                                         pooling=PoolingType.ATTENTION)
     cfg = TrainConfig(model=model_cfg,
                       data=DataConfig(batch_size=args.batch_size),
-                      checkpoint_dir=args.checkpoint, resume=bool(args.checkpoint))
+                      checkpoint_dir=args.checkpoint,
+                      resume=bool(args.checkpoint),
+                      scan_steps=getattr(args, "scan_steps", 1))
 
     def _required_vocab(flag_value, filename, what):
         """Restoring a checkpoint requires the *training* vocab: a vocab
@@ -245,7 +246,8 @@ def _cmd_predict(args):
     else:
         model = MultimodalClassifier(model_cfg)
     dummy_labels = dict(data, label=np.zeros(len(manifest), np.int32))
-    state, _, eval_step, _ = _init_and_steps(model, cfg, dummy_labels, kind)
+    state, _, eval_step, _, scan_eval = _init_and_steps(
+        model, cfg, dummy_labels, kind)
     if args.checkpoint:
         from mpmc_tpu.train.checkpoint import Checkpointer
         ckpt = Checkpointer(args.checkpoint)
@@ -255,11 +257,12 @@ def _cmd_predict(args):
                 f"did you mean a fold subdir (e.g. {args.checkpoint}/fold_0)?")
         state = ckpt.restore_latest(state)
 
-    probs = []
-    for batch, n_valid in batch_iter(data, cfg.data.batch_size):
-        p, _ = eval_step(state, batch)
-        probs.append(np.asarray(p)[:n_valid])
-    probs = np.concatenate(probs)
+    # Full-manifest inference through run_eval: deferred host sync, and with
+    # --scan-steps > 1 batches are grouped into single scan-fused dispatches.
+    from mpmc_tpu.train.loop import run_eval
+    probs = run_eval(state, eval_step, data, cfg.data.batch_size,
+                     scan_eval_step=scan_eval,
+                     scan_k=cfg.scan_steps).probs
     pred = (probs > args.threshold).astype(int)
     write_label_tsv(args.out, manifest.ids, pred, args.run_id)
     if args.probs_out:
@@ -446,6 +449,9 @@ def main(argv=None):
     p.add_argument("--caption-vocab", default=None)
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--scan-steps", type=int, default=1,
+                   help=">1 fuses this many eval batches per device "
+                        "dispatch (large-manifest inference)")
     p.add_argument("--run-id", default="mpmc_tpu")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--small", action="store_true",

@@ -46,8 +46,8 @@ def fit_folds_parallel(cfg: TrainConfig, init_fold_state: Callable,
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
     from mpmc_tpu.parallel.fold_parallel import (
-        make_fold_parallel_eval_step, make_fold_parallel_train_step,
-        stack_states)
+        make_fold_parallel_eval_step, make_fold_parallel_scan_train_step,
+        make_fold_parallel_train_step, stack_states)
 
     F = cfg.data.num_folds
     bs = cfg.data.batch_size
@@ -57,8 +57,13 @@ def fit_folds_parallel(cfg: TrainConfig, init_fold_state: Callable,
     states = stack_states([init_fold_state(k) for k in range(F)])
     fp_step = make_fold_parallel_train_step(step_fn, mesh)
     fp_eval = make_fold_parallel_eval_step(eval_fn, mesh)
+    scan_k = max(cfg.scan_steps, 1)
+    fp_scan = (make_fold_parallel_scan_train_step(step_fn, mesh, scan_k)
+               if scan_k > 1 else None)
     fold_sh = NamedSharding(mesh, P("fold"))
     batch_sh = NamedSharding(mesh, P("fold", "data"))
+    scan_batch_sh = NamedSharding(mesh, P(None, "fold", "data"))
+    scan_keys_sh = NamedSharding(mesh, P(None, "fold"))
     states = jax.device_put(states, fold_sh)
 
     train_idx = [tr for tr, _ in splits]
@@ -66,23 +71,42 @@ def fit_folds_parallel(cfg: TrainConfig, init_fold_state: Callable,
     rngs = [np.random.default_rng(cfg.seed + k) for k in range(F)]
     key = jax.random.key(cfg.seed)
 
+    def host_batch(perms, step):
+        """One [F, B, ...] batch: each fold samples its own train indices
+        (wrap-around at the fold's epoch end)."""
+        batch = {}
+        for name, arr in full_data.items():
+            rows = []
+            for k in range(F):
+                take = perms[k][(step * bs) % len(perms[k]):][:bs]
+                if len(take) < bs:  # wrap around
+                    take = np.concatenate([take, perms[k][:bs - len(take)]])
+                rows.append(arr[take])
+            batch[name] = np.stack(rows)
+        return batch
+
     for epoch in range(cfg.epochs):
         perms = [rng.permutation(idx) for rng, idx in zip(rngs, train_idx)]
-        for step in range(steps_per_epoch):
-            batch = {}
-            for name, arr in full_data.items():
-                rows = []
-                for k in range(F):
-                    take = perms[k][(step * bs) % len(perms[k]):][:bs]
-                    if len(take) < bs:  # wrap around
-                        take = np.concatenate(
-                            [take, perms[k][:bs - len(take)]])
-                    rows.append(arr[take])
-                batch[name] = np.stack(rows)
-            batch = jax.device_put(batch, batch_sh)
-            key, sub = jax.random.split(key)
-            fold_keys = jax.device_put(jax.random.split(sub, F), fold_sh)
-            states, metrics = fp_step(states, batch, fold_keys)
+        step = 0
+        while step < steps_per_epoch:
+            if fp_scan is not None and steps_per_epoch - step >= scan_k:
+                group = [host_batch(perms, step + j) for j in range(scan_k)]
+                batch = jax.device_put(
+                    {name: np.stack([g[name] for g in group])
+                     for name in group[0]}, scan_batch_sh)
+                key, sub = jax.random.split(key)
+                keys = jax.device_put(
+                    jax.random.split(sub, scan_k * F).reshape(scan_k, F),
+                    scan_keys_sh)
+                states, metrics = fp_scan(states, batch, keys)
+                metrics = {k: v[-1] for k, v in metrics.items()}
+                step += scan_k
+            else:
+                batch = jax.device_put(host_batch(perms, step), batch_sh)
+                key, sub = jax.random.split(key)
+                fold_keys = jax.device_put(jax.random.split(sub, F), fold_sh)
+                states, metrics = fp_step(states, batch, fold_keys)
+                step += 1
         log.info("epoch %d: per-fold losses %s", epoch,
                  [round(float(x), 4) for x in np.asarray(metrics["loss"])])
 

@@ -51,6 +51,37 @@ def make_fold_parallel_train_step(step_fn: Callable, mesh: Mesh,
     )
 
 
+def make_fold_parallel_scan_train_step(step_fn: Callable, mesh: Mesh,
+                                       scan_steps: int,
+                                       fold_axis: str = "fold",
+                                       data_axis: str = "data"):
+    """Scan-fused fold-parallel step: K optimizer steps for ALL folds in one
+    dispatch (``lax.scan`` over the vmapped per-fold step — the same launch
+    amortization as train.step.make_scan_train_step, composed with the fold
+    axis).
+
+    Inputs: state leaves [F, ...] (sharded ``fold``), batch leaves
+    [K, F, B, ...] (sharded ``(None, fold, data)``), rng keys [K, F]
+    (sharded ``(None, fold)``).  Metrics come back stacked [K, F].
+    """
+    if scan_steps < 2:
+        raise ValueError(f"scan_steps must be >= 2, got {scan_steps}")
+    vstep = jax.vmap(step_fn)
+    state_sh = NamedSharding(mesh, P(fold_axis))
+    batch_sh = NamedSharding(mesh, P(None, fold_axis, data_axis))
+    keys_sh = NamedSharding(mesh, P(None, fold_axis))
+
+    def scan_fn(states, batches, keys):
+        def body(st, xs):
+            b, kk = xs
+            return vstep(st, b, kk)
+
+        return jax.lax.scan(body, states, (batches, keys))
+
+    return jax.jit(scan_fn, in_shardings=(state_sh, batch_sh, keys_sh),
+                   out_shardings=(state_sh, state_sh), donate_argnums=(0,))
+
+
 def make_fold_parallel_eval_step(eval_fn: Callable, mesh: Mesh,
                                  fold_axis: str = "fold",
                                  data_axis: str = "data"):

@@ -149,19 +149,45 @@ class EvalResult:
 
 
 def run_eval(state, eval_step, data: Dict[str, np.ndarray],
-             batch_size: int, put: Callable = lambda b: b) -> EvalResult:
+             batch_size: int, put: Callable = lambda b: b,
+             scan_eval_step=None, scan_k: int = 1,
+             put_stacked: Optional[Callable] = None) -> EvalResult:
     """Full pass → sigmoid probs → ROC/Youden threshold → acc + macro-F1
-    (reference ``test()``, :779-834)."""
-    parts: List[Tuple[object, object, int]] = []
-    for dev_batch, _, n_valid in prefetch_batches(
-            batch_iter(data, batch_size), put):
-        p, l = eval_step(state, dev_batch)
+    (reference ``test()``, :779-834).
+
+    With ``scan_eval_step`` (train.step.make_scan_eval_step) groups of
+    ``scan_k`` eval batches run as one device dispatch — a full pass is
+    otherwise ceil(N/B) launches, each costing a host round-trip."""
+    n = len(next(iter(data.values())))
+    n_batches = (n + batch_size - 1) // batch_size
+    it = batch_iter(data, batch_size)
+    put_fn = put
+    if scan_eval_step is not None and scan_k > 1 and n_batches >= scan_k:
+        plan = [scan_k] * (n_batches // scan_k)
+        if n_batches % scan_k:
+            plan.append(n_batches % scan_k)
+        it = _scan_groups(it, plan, scan_k)
+        first_key = next(iter(data))
+        base_ndim = data[first_key].ndim
+        pst = put_stacked if put_stacked is not None else put
+        put_fn = (lambda b: pst(b)
+                  if b[first_key].ndim == base_ndim + 1 else put(b))
+    parts: List[Tuple[object, object, object]] = []
+    for dev_batch, _, n_valid in prefetch_batches(it, put_fn):
+        if isinstance(n_valid, list):
+            p, l = scan_eval_step(state, dev_batch)
+        else:
+            p, l = eval_step(state, dev_batch)
         parts.append((p, l, n_valid))  # defer host sync: keep dispatch full
     fetched = jax.device_get([(p, l) for p, l, _ in parts])
-    probs = np.concatenate(
-        [np.asarray(p)[:n] for (p, _), (_, _, n) in zip(fetched, parts)])
-    losses = np.concatenate(
-        [np.asarray(l)[:n] for (_, l), (_, _, n) in zip(fetched, parts)])
+    probs_l, losses_l = [], []
+    for (p, l), (_, _, nv) in zip(fetched, parts):
+        p, l = np.asarray(p), np.asarray(l)
+        for j, n_v in enumerate(nv if isinstance(nv, list) else [nv]):
+            probs_l.append(p[j][:n_v] if isinstance(nv, list) else p[:n_v])
+            losses_l.append(l[j][:n_v] if isinstance(nv, list) else l[:n_v])
+    probs = np.concatenate(probs_l)
+    losses = np.concatenate(losses_l)
     labels = data.get("label")
     if labels is None:
         return EvalResult(float("nan"), float("nan"), float("nan"), 0.5, probs)
@@ -193,6 +219,7 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
         log_every: int = 10,
         checkpointer=None,
         scan_train_step=None,
+        scan_eval_step=None,
         put_stacked: Optional[Callable] = None) -> FitResult:
     """Epoch loop with the reference's cadence: loss/LR/grad-norm logging
     every ``log_every`` steps, eval ``cfg.eval_per_epoch`` times per epoch,
@@ -294,7 +321,10 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
             if test_data is not None and (bi % check_interval == 0
                                           or bi == steps_per_epoch):
                 flush_metrics()
-                t_res = run_eval(state, eval_step, test_data, bs, put)
+                t_res = run_eval(state, eval_step, test_data, bs, put,
+                                 scan_eval_step=scan_eval_step,
+                                 scan_k=cfg.scan_steps,
+                                 put_stacked=put_stacked)
                 history.append({"epoch": epoch, "batch": bi,
                                 "test_f1": t_res.macro_f1,
                                 "test_loss": t_res.loss})
@@ -304,7 +334,10 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
                          t_res.macro_f1, t_res.threshold)
                 v_res = None
                 if val_data is not None:
-                    v_res = run_eval(state, eval_step, val_data, bs, put)
+                    v_res = run_eval(state, eval_step, val_data, bs, put,
+                                     scan_eval_step=scan_eval_step,
+                                     scan_k=cfg.scan_steps,
+                                     put_stacked=put_stacked)
                     log.info("  VAL | Epoch [%d] | F1: %.4f", epoch,
                              v_res.macro_f1)
                 if t_res.macro_f1 > best_f1:

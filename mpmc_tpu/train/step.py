@@ -208,6 +208,24 @@ def make_scan_train_step(apply_fn: ApplyFn, cfg: TrainConfig,
 def make_eval_step(apply_fn: ApplyFn, cfg: TrainConfig):
     """Jitted eval step → per-sample propaganda probability [B] plus the
     per-sample loss contribution (for the reference's test-loss logging)."""
+    return jax.jit(_build_eval_fn(apply_fn, cfg))
+
+
+def make_scan_eval_step(apply_fn: ApplyFn, cfg: TrainConfig):
+    """Eval over a stacked [K, B, ...] batch group in ONE dispatch
+    (``lax.map`` — body compiled once, trip count static).  Same
+    launch-amortization rationale as make_scan_train_step: a full eval pass
+    is otherwise ceil(N/B) separate launches, each costing a host
+    round-trip.  Returns stacked ``(probs [K, B], loss [K, B])``."""
+    fn = _build_eval_fn(apply_fn, cfg)
+
+    def scanned(state: TrainState, batches: Dict):
+        return jax.lax.map(lambda b: fn(state, b), batches)
+
+    return jax.jit(scanned)
+
+
+def _build_eval_fn(apply_fn: ApplyFn, cfg: TrainConfig):
     compute_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
 
     def step_fn(state: TrainState, batch: Dict):
@@ -238,4 +256,4 @@ def make_eval_step(apply_fn: ApplyFn, cfg: TrainConfig):
                 loss = jnp.zeros_like(probs)
         return probs, loss
 
-    return jax.jit(step_fn)
+    return step_fn

@@ -62,6 +62,48 @@ def test_fold_parallel_two_folds(rng, tmp_path):
     assert check_format(f"{prefix}.tsv")
 
 
+def test_fold_parallel_scan_fused(rng, tmp_path):
+    """cfg.scan_steps > 1 in the fold-parallel driver: K steps × all folds
+    per dispatch ([K, F, B, ...] batches, (None, fold, data) sharding) —
+    folds still learn and TSVs still emit."""
+    mcfg = dataclasses.replace(ModelConfig.tiny_2c(), num_classes=2,
+                               pooling=PoolingType.CLS)
+    cfg = TrainConfig(model=mcfg,
+                      data=DataConfig(batch_size=8, num_folds=2),
+                      mesh=MeshConfig(num_fold_shards=2),
+                      epochs=3, learning_rate=2e-3,
+                      loss=LossType.CROSS_ENTROPY, scan_steps=2)
+
+    n = 64
+    y = (rng.random(n) > 0.5).astype(np.int32)
+    ids = rng.integers(5, mcfg.text.vocab_size, (n, 16)).astype(np.int32)
+    ids[:, 0] = y * 3 + 1
+    data = {"text_ids": ids, "text_mask": np.ones_like(ids), "label": y}
+
+    model = TextClassifier(mcfg)
+    apply_fn = make_apply_fn(model, "text")
+    tx = make_optimizer(cfg, total_steps=cfg.epochs * 8)
+
+    def init_fold_state(k):
+        variables = model.init(jax.random.key(k), data["text_ids"][:2],
+                               data["text_mask"][:2])
+        return create_train_state(variables, tx)[0]
+
+    step_fn = build_train_step_fn(apply_fn, cfg, tx)
+    eval_raw = make_eval_step(apply_fn, cfg)
+    mesh = make_mesh(cfg.mesh)
+    prefix = str(tmp_path / "task2A_fps")
+    results = fit_folds_parallel(cfg, init_fold_state, step_fn,
+                                 lambda s, b: eval_raw(s, b), data, data,
+                                 [f"d/i_{i}.jpg" for i in range(n)], mesh,
+                                 tsv_prefix=prefix)
+    assert len(results) == 2
+    for r in results:
+        assert r["macro_f1"] > 0.8
+    import os
+    assert os.path.exists(f"{prefix}_probs_fold_1.tsv")
+
+
 def test_driver_fold_parallel_2a(rng, tmp_path):
     """run_subtask_2a in fold-parallel mode on the (2,4) CPU mesh, real data."""
     from mpmc_tpu.cli.experiments import run_subtask_2a

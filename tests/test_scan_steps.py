@@ -174,6 +174,63 @@ def test_fit_scan_nonfinite_abort_names_inner_step(rng, tmp_path,
     assert any(f.startswith("nonfinite_") for f in os.listdir("."))
 
 
+def test_run_eval_scan_matches_per_batch(rng):
+    """run_eval with a scan-fused eval step returns identical probs/metrics
+    to per-batch dispatch (groups of K batches + remainder singles)."""
+    from mpmc_tpu.train.loop import run_eval
+    _, _, eval_step = _stub_steps()
+
+    def scan_eval(state, batches):
+        return jax.lax.map(lambda b: eval_step(state, b), batches)
+
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params={"w": jnp.asarray(2.0)},
+                       batch_stats={}, opt_state=())
+    data = _data(rng, 53)  # 7 batches of 8 → plan [3, 3, 1]
+    plain = run_eval(state, eval_step, data, 8)
+    scanned = run_eval(state, eval_step, data, 8,
+                       scan_eval_step=scan_eval, scan_k=3)
+    np.testing.assert_allclose(scanned.probs, plain.probs, rtol=1e-6)
+    assert scanned.macro_f1 == pytest.approx(plain.macro_f1)
+    assert scanned.threshold == pytest.approx(plain.threshold)
+    assert scanned.loss == pytest.approx(plain.loss)
+    # fewer batches than scan_k → pure per-batch fallback, same answer
+    small = {k: v[:10] for k, v in data.items()}
+    a = run_eval(state, eval_step, small, 8,
+                 scan_eval_step=scan_eval, scan_k=3)
+    b = run_eval(state, eval_step, small, 8)
+    np.testing.assert_allclose(a.probs, b.probs, rtol=1e-6)
+
+
+def test_make_scan_eval_step_stacks(rng):
+    """make_scan_eval_step == K independent make_eval_step calls."""
+    from mpmc_tpu.config import DataConfig
+    from mpmc_tpu.train.step import make_eval_step, make_scan_eval_step
+
+    cfg = TrainConfig(data=DataConfig(batch_size=4), bf16=False)
+
+    def apply_fn(variables, batch, train, rngs, mutable):
+        return batch["x"] @ variables["params"]["w"], {}
+
+    w = jnp.asarray(rng.standard_normal((3,)), jnp.float32)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params={"w": w},
+                       batch_stats={}, opt_state=())
+    batches = [{"x": rng.standard_normal((4, 3)).astype(np.float32),
+                "label": (rng.random(4) > 0.5).astype(np.int32)}
+               for _ in range(3)]
+    single = make_eval_step(apply_fn, cfg)
+    stacked_fn = make_scan_eval_step(apply_fn, cfg)
+    stacked = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+    ps, ls = stacked_fn(state, stacked)
+    assert ps.shape == (3, 4)
+    for j, b in enumerate(batches):
+        p, l = single(state, b)
+        np.testing.assert_allclose(np.asarray(ps[j]), np.asarray(p),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(ls[j]), np.asarray(l),
+                                   rtol=1e-6)
+
+
 def test_run_folds_scan_with_dp_sharding(rng, tmp_path):
     """Driver-level: scan_steps + data-parallel sharding together — the
     stacked [K, B, ...] batch shards on axis 1 over the virtual 8-device

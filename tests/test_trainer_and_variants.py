@@ -122,6 +122,25 @@ def test_train_augment_shapes(rng):
     assert cropped.shape == (4, 16, 16, 3)
 
 
+def test_rotate_shear_matches_bilinear_gather(rng):
+    """The gather-free Paeth 3-shear rotation (TPU-friendly: weighted rolls)
+    agrees with the direct bilinear-gather oracle in the image interior
+    (borders differ by design: 3 zero-fill resamples vs one)."""
+    from mpmc_tpu.image.augment import _rotate_bilinear, _rotate_shear
+    H = W = 64
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    img = np.stack([np.sin(yy / 9) + np.cos(xx / 7), (yy + xx) / (H + W),
+                    np.cos(yy / 5) * np.sin(xx / 6)], -1).astype(np.float32)
+    batch = np.stack([img] * 4)
+    angles = np.array([0.0, 0.1, -0.2, 0.26], np.float32)
+    ref = jax.vmap(_rotate_bilinear)(jnp.asarray(batch), jnp.asarray(angles))
+    got = _rotate_shear(jnp.asarray(batch), jnp.asarray(angles), 15.0)
+    m = 12
+    d = np.abs(np.asarray(ref)[:, m:-m, m:-m]
+               - np.asarray(got)[:, m:-m, m:-m])
+    assert d.mean() < 5e-3 and d.max() < 5e-2  # bf16 shear resampling
+
+
 def test_captioner_generate(rng):
     from mpmc_tpu.models.captioner import ImageCaptioner
     cap = ImageCaptioner(vocab_size=64, image_size=32, patch_size=8,
