@@ -167,8 +167,12 @@ def _init_and_steps(model, cfg: TrainConfig, train_data, kind: str,
     import jax
     import numpy as np
     from mpmc_tpu.models.pretrained import apply_pretrained
-    from mpmc_tpu.train.step import (create_train_state, make_eval_step,
-                                     make_optimizer, make_scan_eval_step,
+    from mpmc_tpu.train.step import (GatherSteps, create_train_state,
+                                     make_eval_step, make_gather_eval_step,
+                                     make_gather_scan_eval_step,
+                                     make_gather_scan_train_step,
+                                     make_gather_train_step, make_optimizer,
+                                     make_scan_eval_step,
                                      make_scan_train_step, make_train_step)
 
     ex = {k: v[:2] for k, v in train_data.items() if k != "valid"}
@@ -195,12 +199,20 @@ def _init_and_steps(model, cfg: TrainConfig, train_data, kind: str,
     apply_fn = make_apply_fn(model, kind, augment_images=augment,
                              grayscale=grayscale,
                              eval_transform_only=eval_transform_only)
-    scan_step = scan_eval = None
+    scan_step = scan_eval = gather = None
     if cfg.scan_steps > 1:
         scan_step = make_scan_train_step(apply_fn, cfg, tx)
         scan_eval = make_scan_eval_step(apply_fn, cfg)
+    if cfg.data.device_resident:
+        gather = GatherSteps(
+            train=make_gather_train_step(apply_fn, cfg, tx),
+            eval=make_gather_eval_step(apply_fn, cfg),
+            scan_train=(make_gather_scan_train_step(apply_fn, cfg, tx)
+                        if cfg.scan_steps > 1 else None),
+            scan_eval=(make_gather_scan_eval_step(apply_fn, cfg)
+                       if cfg.scan_steps > 1 else None))
     return (state, make_train_step(apply_fn, cfg, tx),
-            make_eval_step(apply_fn, cfg), scan_step, scan_eval)
+            make_eval_step(apply_fn, cfg), scan_step, scan_eval, gather)
 
 
 def _select(data: Dict[str, np.ndarray], idx) -> Dict[str, np.ndarray]:
@@ -234,6 +246,7 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
     # mesh axis, params replicated; the prefetch thread in train.loop runs
     # `put` so the sharded H2D copy overlaps the previous step's compute.
     put, put_stacked, place_state = (lambda b: b), None, (lambda s: s)
+    place_data = None
     if cfg.mesh.num_fold_shards <= 1 and cfg.mesh.num_data_shards > 1:
         import jax
         from mpmc_tpu.parallel.mesh import (batch_sharding, make_mesh,
@@ -252,6 +265,23 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
         put_stacked = lambda b: jax.tree_util.tree_map(  # noqa: E731
             lambda x: jax.device_put(x, ssh), b)
         place_state = lambda s: jax.device_put(s, repl)  # noqa: E731
+        # Device-resident datasets replicate across the DP mesh; the jitted
+        # row-gather then propagates the (sharded) idx onto the batch.
+        place_data = lambda t: jax.device_put(t, repl)  # noqa: E731
+    # Device-resident datasets (DataConfig.device_resident): upload the full
+    # train-manifest arrays (and the test split) to HBM ONCE for the whole
+    # driver run — every fold's train/val split and the shared test split
+    # index into them, so per-step host→device traffic is just [B] int32
+    # rows (train.loop.DeviceData; measured ~25-50 MB/s tunnel H2D makes
+    # streamed pixel batches cost more than the device step itself).
+    dev_full_data = dev_test_data = None
+    if cfg.data.device_resident:
+        import jax
+        from mpmc_tpu.train.loop import DeviceData
+        pd = place_data if place_data is not None else jax.device_put
+        dev_full_data = pd(full_data)
+        if test_data is not None:
+            dev_test_data = pd(test_data)
     results, prob_paths = [], []
     for k, (tr_idx, va_idx) in enumerate(splits):
         if folds is not None and k not in folds:
@@ -261,8 +291,16 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
         val_d = _select(full_data, va_idx)
         t_data = test_data if test_data is not None else val_d
         t_ids = test_ids if test_ids is not None else [ids[i] for i in va_idx]
+        dev_train = dev_test = dev_val = None
+        if dev_full_data is not None:
+            dev_train = DeviceData(dev_full_data, tr_idx)
+            dev_val = DeviceData(dev_full_data, va_idx)
+            dev_test = (DeviceData(dev_test_data,
+                                   np.arange(len(t_ids), dtype=np.int64))
+                        if dev_test_data is not None else dev_val)
         model = model_factory()
-        state, train_step, eval_step, scan_step, scan_eval = _init_and_steps(
+        (state, train_step, eval_step, scan_step, scan_eval,
+         gather) = _init_and_steps(
             model, cfg, train_d, kind, augment=augment, grayscale=grayscale,
             pretrained=pretrained, eval_transform_only=eval_transform_only)
         state = place_state(state)
@@ -278,7 +316,8 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
                   fold=k, tsv_prefix=prefix, put=put,
                   checkpointer=checkpointer,
                   scan_train_step=scan_step, scan_eval_step=scan_eval,
-                  put_stacked=put_stacked)
+                  put_stacked=put_stacked, gather_steps=gather,
+                  dev_train=dev_train, dev_test=dev_test, dev_val=dev_val)
         if checkpointer is not None:
             checkpointer.wait()
         results.append(res)

@@ -116,7 +116,8 @@ def _cmd_train(args):
     cfg = TrainConfig(model=model, data=data, mesh=mesh, epochs=args.epochs,
                       learning_rate=args.lr,
                       checkpoint_dir=args.checkpoint_dir,
-                      scan_steps=args.scan_steps)
+                      scan_steps=args.scan_steps,
+                      adam_mu_dtype=args.adam_mu_dtype)
     pretrained = PretrainedSpec(text=args.text_params,
                                 caption=args.caption_params,
                                 image=args.image_params)
@@ -246,7 +247,7 @@ def _cmd_predict(args):
     else:
         model = MultimodalClassifier(model_cfg)
     dummy_labels = dict(data, label=np.zeros(len(manifest), np.int32))
-    state, _, eval_step, _, scan_eval = _init_and_steps(
+    state, _, eval_step, _, scan_eval, _ = _init_and_steps(
         model, cfg, dummy_labels, kind)
     if args.checkpoint:
         from mpmc_tpu.train.checkpoint import Checkpointer
@@ -431,6 +432,10 @@ def main(argv=None):
                    help=">1 fuses this many optimizer steps into one jitted "
                         "lax.scan dispatch (amortizes per-launch host "
                         "round-trips on remote TPU links)")
+    p.add_argument("--adam-mu-dtype", default=None,
+                   choices=[None, "bfloat16", "float32"],
+                   help="Adam first-moment dtype (bfloat16 halves its HBM "
+                        "traffic; default f32 = torch parity)")
     p.add_argument("--data-shards", type=int, default=1,
                    help=">1 shards each batch over a `data` mesh axis (DP)")
     p.add_argument("--fold-shards", type=int, default=1,

@@ -219,6 +219,14 @@ class DataConfig:
     # masked poolings (cls/mean/attention); 0 disables (max/cnn pooling and
     # the C28 simple preset's last-token semantics depend on pad length).
     seq_bucket_multiple: int = 64
+    # Device-resident dataset: upload each split's arrays to HBM once and
+    # assemble every batch ON DEVICE (jitted index-gather inside the train/
+    # eval step) — the host ships only [B] int32 row indices per step.  Over
+    # a remote/tunneled TPU link (measured ~25-50 MB/s H2D here) streaming
+    # the 2.4 MB of uint8 pixels per bs16 batch costs more than the whole
+    # device step; the full train split is ~322 MB — trivial against 16 GB
+    # HBM.  Disable for datasets that do not fit device memory.
+    device_resident: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -272,6 +280,11 @@ class TrainConfig:
     emit_val_tsv: bool = False  # 2A also dumps val-split TSVs (:464-468)
     checkpoint_dir: Optional[str] = None
     resume: bool = False
+    # Adam first-moment accumulator dtype (optax mu_dtype).  "bfloat16"
+    # halves the HBM traffic of the mu read-modify-write on ~270M flagship
+    # params; the variance accumulator stays f32.  None keeps torch-Adam
+    # f32 parity (the default).
+    adam_mu_dtype: Optional[str] = None
     # Dispatch amortization: fuse this many optimizer steps into ONE jitted
     # lax.scan dispatch (train/step.make_scan_train_step).  Over a remote
     # TPU link each executable launch costs a host round-trip; scanning K

@@ -140,6 +140,19 @@ def _scan_groups(it: Iterator[Tuple[Dict[str, np.ndarray], int]],
 
 
 @dataclasses.dataclass
+class DeviceData:
+    """A logical data split over a device-resident dataset: ``data`` is the
+    full pytree uploaded to HBM once (driver-side), ``abs_idx`` the rows of
+    it this split uses.  Batches are assembled on device by row-gather
+    (train.step._gather_rows) — the host ships only int32 indices per step,
+    which matters when the host↔device link is slow (a tunneled chip here
+    measures ~25-50 MB/s; streaming bs16 uint8 pixels would cost more than
+    the whole device step)."""
+    data: object
+    abs_idx: np.ndarray
+
+
+@dataclasses.dataclass
 class EvalResult:
     loss: float
     accuracy: float
@@ -151,30 +164,44 @@ class EvalResult:
 def run_eval(state, eval_step, data: Dict[str, np.ndarray],
              batch_size: int, put: Callable = lambda b: b,
              scan_eval_step=None, scan_k: int = 1,
-             put_stacked: Optional[Callable] = None) -> EvalResult:
+             put_stacked: Optional[Callable] = None,
+             gather_eval=None, gather_scan_eval=None,
+             dev: Optional[DeviceData] = None) -> EvalResult:
     """Full pass → sigmoid probs → ROC/Youden threshold → acc + macro-F1
     (reference ``test()``, :779-834).
 
     With ``scan_eval_step`` (train.step.make_scan_eval_step) groups of
     ``scan_k`` eval batches run as one device dispatch — a full pass is
-    otherwise ceil(N/B) launches, each costing a host round-trip."""
+    otherwise ceil(N/B) launches, each costing a host round-trip.  With
+    ``gather_eval``/``dev`` the split is device-resident and only row
+    indices cross the host link (train.step.make_gather_eval_step)."""
     n = len(next(iter(data.values())))
     n_batches = (n + batch_size - 1) // batch_size
-    it = batch_iter(data, batch_size)
+    use_gather = gather_eval is not None and dev is not None
+    if use_gather:
+        it = batch_iter({"idx": dev.abs_idx.astype(np.int32)}, batch_size)
+    else:
+        it = batch_iter(data, batch_size)
     put_fn = put
-    if scan_eval_step is not None and scan_k > 1 and n_batches >= scan_k:
+    scannable = (gather_scan_eval if use_gather else scan_eval_step)
+    if scannable is not None and scan_k > 1 and n_batches >= scan_k:
         plan = [scan_k] * (n_batches // scan_k)
         if n_batches % scan_k:
             plan.append(n_batches % scan_k)
         it = _scan_groups(it, plan, scan_k)
-        first_key = next(iter(data))
-        base_ndim = data[first_key].ndim
+        first_key = "idx" if use_gather else next(iter(data))
+        base_ndim = 1 if use_gather else data[first_key].ndim
         pst = put_stacked if put_stacked is not None else put
         put_fn = (lambda b: pst(b)
                   if b[first_key].ndim == base_ndim + 1 else put(b))
     parts: List[Tuple[object, object, object]] = []
     for dev_batch, _, n_valid in prefetch_batches(it, put_fn):
-        if isinstance(n_valid, list):
+        if use_gather:
+            if isinstance(n_valid, list):
+                p, l = gather_scan_eval(state, dev.data, dev_batch["idx"])
+            else:
+                p, l = gather_eval(state, dev.data, dev_batch["idx"])
+        elif isinstance(n_valid, list):
             p, l = scan_eval_step(state, dev_batch)
         else:
             p, l = eval_step(state, dev_batch)
@@ -220,7 +247,11 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
         checkpointer=None,
         scan_train_step=None,
         scan_eval_step=None,
-        put_stacked: Optional[Callable] = None) -> FitResult:
+        put_stacked: Optional[Callable] = None,
+        gather_steps=None,
+        dev_train: Optional[DeviceData] = None,
+        dev_test: Optional[DeviceData] = None,
+        dev_val: Optional[DeviceData] = None) -> FitResult:
     """Epoch loop with the reference's cadence: loss/LR/grad-norm logging
     every ``log_every`` steps, eval ``cfg.eval_per_epoch`` times per epoch,
     best-test-F1-triggered TSV dump.
@@ -229,6 +260,11 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
     ``cfg.scan_steps > 1``, full groups of K steps run as ONE device
     dispatch; ``put_stacked`` places a [K, B, ...] batch pytree (under DP it
     must shard axis 1, not axis 0 — parallel.mesh.stacked_batch_sharding).
+
+    With ``gather_steps`` (train.step.GatherSteps) + ``dev_train``/
+    ``dev_test``/``dev_val`` (DeviceData) the splits are device-resident:
+    batches are row-gathered in HBM and the host ships only int32 indices
+    (+ the valid mask) per step — DataConfig.device_resident.
     """
     bs = cfg.data.batch_size
     n_train = len(train_data["label"])
@@ -236,7 +272,13 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
     check_interval = max(steps_per_epoch // max(cfg.eval_per_epoch, 1), 1)
     data_rng = np.random.default_rng(cfg.seed + fold)
     dropout_key = jax.random.key(cfg.seed + fold)
-    scan_k = cfg.scan_steps if scan_train_step is not None else 1
+    use_gather = gather_steps is not None and dev_train is not None
+    if use_gather:
+        assert len(dev_train.abs_idx) == n_train
+    scan_k = (cfg.scan_steps
+              if (scan_train_step is not None
+                  or (use_gather and gather_steps.scan_train is not None))
+              else 1)
     use_scan = scan_k > 1
     if use_scan and put_stacked is None:
         put_stacked = put
@@ -288,14 +330,24 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
     for epoch in range(cfg.epochs):
         t0 = time.time()
         losses = []
-        step_it = batch_iter(train_data, bs, shuffle=True, rng=data_rng,
-                             with_valid=True)
+        if use_gather:
+            # Only the shuffled row indices (and the valid mask) leave the
+            # host; batch pixels/tokens are gathered from HBM in-step.
+            step_it = batch_iter(
+                {"idx": dev_train.abs_idx.astype(np.int32)}, bs,
+                shuffle=True, rng=data_rng, with_valid=True)
+            key_field = "idx"
+        else:
+            step_it = batch_iter(train_data, bs, shuffle=True, rng=data_rng,
+                                 with_valid=True)
+            key_field = "label"
         if use_scan:
             plan = _scan_group_plan(steps_per_epoch, check_interval, scan_k,
                                     eval_on=test_data is not None)
             grouped = _scan_groups(step_it, plan, scan_k)
+            base_ndim = 1 if use_gather else train_data[key_field].ndim
             put_fn = (lambda b: put_stacked(b)
-                      if b["label"].ndim == 2 else put(b))
+                      if b[key_field].ndim == base_ndim + 1 else put(b))
         else:
             grouped, put_fn = step_it, put
         bi = 0
@@ -303,7 +355,12 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
                 grouped, put_fn):
             group_size = len(n_valid) if isinstance(n_valid, list) else 1
             dropout_key, sub = jax.random.split(dropout_key)
-            if group_size > 1:
+            if use_gather:
+                fn = (gather_steps.scan_train if group_size > 1
+                      else gather_steps.train)
+                state, metrics = fn(state, dev_train.data, dev_batch["idx"],
+                                    dev_batch["valid"], sub)
+            elif group_size > 1:
                 state, metrics = scan_train_step(state, dev_batch, sub)
             else:
                 state, metrics = train_step(state, dev_batch, sub)
@@ -324,7 +381,12 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
                 t_res = run_eval(state, eval_step, test_data, bs, put,
                                  scan_eval_step=scan_eval_step,
                                  scan_k=cfg.scan_steps,
-                                 put_stacked=put_stacked)
+                                 put_stacked=put_stacked,
+                                 gather_eval=(gather_steps.eval
+                                              if use_gather else None),
+                                 gather_scan_eval=(gather_steps.scan_eval
+                                                   if use_gather else None),
+                                 dev=dev_test)
                 history.append({"epoch": epoch, "batch": bi,
                                 "test_f1": t_res.macro_f1,
                                 "test_loss": t_res.loss})
@@ -337,7 +399,13 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
                     v_res = run_eval(state, eval_step, val_data, bs, put,
                                      scan_eval_step=scan_eval_step,
                                      scan_k=cfg.scan_steps,
-                                     put_stacked=put_stacked)
+                                     put_stacked=put_stacked,
+                                     gather_eval=(gather_steps.eval
+                                                  if use_gather else None),
+                                     gather_scan_eval=(gather_steps.scan_eval
+                                                       if use_gather
+                                                       else None),
+                                     dev=dev_val)
                     log.info("  VAL | Epoch [%d] | F1: %.4f", epoch,
                              v_res.macro_f1)
                 if t_res.macro_f1 > best_f1:

@@ -66,10 +66,12 @@ def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransfor
     head_sched = linear_warmup_schedule(cfg.learning_rate, warmup, total_steps)
     enc_sched = linear_warmup_schedule(cfg.learning_rate * cfg.encoder_lr_scale,
                                        warmup, total_steps)
+    mu_dtype = cfg.adam_mu_dtype  # e.g. "bfloat16" halves mu HBM traffic
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip_norm),
         optax.multi_transform(
-            {"head": optax.adam(head_sched), "encoder": optax.adam(enc_sched)},
+            {"head": optax.adam(head_sched, mu_dtype=mu_dtype),
+             "encoder": optax.adam(enc_sched, mu_dtype=mu_dtype)},
             lambda params: jax.tree_util.tree_map_with_path(
                 lambda path, _: _param_group(path), params)),
     )
@@ -203,6 +205,90 @@ def make_scan_train_step(apply_fn: ApplyFn, cfg: TrainConfig,
         return jax.lax.scan(body, state, (batches, keys))
 
     return jax.jit(scan_fn, donate_argnums=(0,) if donate else ())
+
+
+import dataclasses as _dc
+
+
+@_dc.dataclass
+class GatherSteps:
+    """The four jitted step variants over a device-resident dataset
+    (DataConfig.device_resident): per-step and scan-fused, train and eval."""
+    train: Callable
+    eval: Callable
+    scan_train: Optional[Callable] = None
+    scan_eval: Optional[Callable] = None
+
+
+def _gather_rows(data: Dict, idx: jax.Array) -> Dict:
+    """Assemble a batch on device: row-gather every array of a resident
+    dataset pytree by [B] int32 indices (HBM→HBM, ~µs) instead of shipping
+    batch bytes over the host link every step (DataConfig.device_resident)."""
+    return jax.tree_util.tree_map(lambda a: a[idx], data)
+
+
+def make_gather_train_step(apply_fn: ApplyFn, cfg: TrainConfig,
+                           tx: optax.GradientTransformation,
+                           class_weights: Optional[jnp.ndarray] = None,
+                           donate: bool = True):
+    """Train step over a device-resident dataset: ``(state, data, idx,
+    valid, rng)`` where ``data`` is the full split resident in HBM and
+    ``idx`` selects the batch rows on device."""
+    step_fn = build_train_step_fn(apply_fn, cfg, tx, class_weights)
+
+    def fn(state: TrainState, data: Dict, idx: jax.Array,
+           valid: jax.Array, rng: jax.Array):
+        batch = dict(_gather_rows(data, idx), valid=valid)
+        return step_fn(state, batch, rng)
+
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def make_gather_scan_train_step(apply_fn: ApplyFn, cfg: TrainConfig,
+                                tx: optax.GradientTransformation,
+                                class_weights: Optional[jnp.ndarray] = None,
+                                scan_steps: Optional[int] = None,
+                                donate: bool = True):
+    """Scan-fused K steps over a device-resident dataset: per dispatch the
+    host ships only ``idx [K, B]`` + ``valid [K, B]`` (~KB)."""
+    k = int(scan_steps if scan_steps is not None else cfg.scan_steps)
+    if k < 2:
+        raise ValueError(f"scan_steps must be >= 2, got {k}")
+    step_fn = build_train_step_fn(apply_fn, cfg, tx, class_weights)
+
+    def scan_fn(state: TrainState, data: Dict, idx: jax.Array,
+                valid: jax.Array, dropout_rng: jax.Array):
+        keys = jax.random.split(dropout_rng, k)
+
+        def body(st, xs):
+            ib, vb, kk = xs
+            return step_fn(st, dict(_gather_rows(data, ib), valid=vb), kk)
+
+        return jax.lax.scan(body, state, (idx, valid, keys))
+
+    return jax.jit(scan_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_gather_eval_step(apply_fn: ApplyFn, cfg: TrainConfig):
+    """Eval step over a device-resident dataset (see make_gather_train_step)."""
+    fn = _build_eval_fn(apply_fn, cfg)
+
+    def e(state: TrainState, data: Dict, idx: jax.Array):
+        return fn(state, _gather_rows(data, idx))
+
+    return jax.jit(e)
+
+
+def make_gather_scan_eval_step(apply_fn: ApplyFn, cfg: TrainConfig):
+    """Eval over [G, B] index groups of a device-resident dataset in one
+    dispatch (lax.map)."""
+    fn = _build_eval_fn(apply_fn, cfg)
+
+    def scanned(state: TrainState, data: Dict, idx: jax.Array):
+        return jax.lax.map(
+            lambda ib: fn(state, _gather_rows(data, ib)), idx)
+
+    return jax.jit(scanned)
 
 
 def make_eval_step(apply_fn: ApplyFn, cfg: TrainConfig):

@@ -50,6 +50,24 @@ def test_optimizer_group_lr_scale():
     assert enc / head == pytest.approx(0.8, rel=1e-3)
 
 
+def test_adam_mu_dtype_bf16():
+    """cfg.adam_mu_dtype='bfloat16' stores the first moment in bf16 (halved
+    HBM read-modify-write) while the variance stays f32; updates still flow."""
+    import jax.numpy as jnp
+    cfg = TrainConfig(learning_rate=1e-3, adam_mu_dtype="bfloat16",
+                      warmup_fraction=0.0, grad_clip_norm=1e9)
+    tx = make_optimizer(cfg, total_steps=10)
+    params = {"text_model": {"w": jnp.ones(4)}, "head": {"w": jnp.ones(4)}}
+    state = tx.init(params)
+    mus = [x.dtype for x in jax.tree_util.tree_leaves(state)
+           if hasattr(x, "dtype") and x.dtype == jnp.bfloat16]
+    assert mus, "no bf16 accumulator found in optimizer state"
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    assert all(float(jnp.abs(u).sum()) > 0
+               for u in jax.tree_util.tree_leaves(updates))
+
+
 def test_roc_matches_sklearn(rng):
     from sklearn.metrics import roc_curve as sk_roc
     for _ in range(5):
