@@ -51,7 +51,8 @@ except Exception:
 from mpmc_tpu.config import DataConfig, ModelConfig, TrainConfig
 from mpmc_tpu.models import MultimodalClassifier
 from mpmc_tpu.train.step import (build_train_step_fn, create_train_state,
-                                 make_optimizer, make_scan_train_step)
+                                 make_gather_scan_train_step, make_optimizer,
+                                 make_scan_train_step)
 
 WARMUP = 3
 STEPS = 20
@@ -130,6 +131,60 @@ def _measure(mcfg, batch_size, text_len, cap_len, scan_k=1):
     return batch_size / dt, dt
 
 
+def _measure_driver_path(mcfg, batch_size, text_len, cap_len, scan_k):
+    """The production train path end-to-end: device-resident dataset
+    (row-gather in-step), scan-fused dispatch, uint8 pixels with the full
+    on-device augmentation chain (flip/brightness/3-shear rotation/
+    normalize) — what `cli train` actually runs per step."""
+    import jax.numpy as jnp
+    from mpmc_tpu.cli.experiments import make_apply_fn
+
+    cfg = TrainConfig(model=mcfg, data=DataConfig(batch_size=batch_size),
+                      scan_steps=scan_k)
+    model = MultimodalClassifier(mcfg)
+    apply_fn = make_apply_fn(model, "multimodal", augment_images=True)
+
+    rng = np.random.default_rng(0)
+    N = 512  # resident rows
+    data = {
+        "text_ids": rng.integers(5, mcfg.text.vocab_size,
+                                 (N, text_len)).astype(np.int32),
+        "text_mask": np.ones((N, text_len), np.int32),
+        "image": rng.integers(0, 255, (N, mcfg.image.image_size,
+                                       mcfg.image.image_size, 3)
+                              ).astype(np.uint8),
+        "caption_ids": rng.integers(5, mcfg.caption.vocab_size,
+                                    (N, cap_len)).astype(np.int32),
+        "caption_mask": np.ones((N, cap_len), np.int32),
+        "label": (rng.random(N) > 0.6).astype(np.int32),
+    }
+    variables = model.init(
+        jax.random.key(0), data["text_ids"][:2], data["text_mask"][:2],
+        data["image"][:2].astype(np.float32) / 255.0,
+        data["caption_ids"][:2], data["caption_mask"][:2])
+    tx = make_optimizer(cfg, total_steps=1000)
+    state, _ = create_train_state(variables, tx)
+    step_fn = make_gather_scan_train_step(apply_fn, cfg, tx)
+    dev_data = jax.device_put(data)
+    valid = np.ones((scan_k, batch_size), np.float32)
+
+    def idx(i):
+        return rng.integers(0, N, (scan_k, batch_size)).astype(np.int32)
+
+    for i in range(WARMUP):
+        state, m = step_fn(state, dev_data, idx(i), valid, jax.random.key(i))
+        float(np.ravel(m["loss"])[-1])
+    dispatches = max(STEPS // scan_k, 3)
+    t0 = time.perf_counter()
+    for i in range(dispatches):
+        state, m = step_fn(state, dev_data, idx(i), valid,
+                           jax.random.key(WARMUP + i))
+    float(np.ravel(m["loss"])[-1])
+    dt = (time.perf_counter() - t0) / (dispatches * scan_k)
+    del state, dev_data
+    return batch_size / dt, dt
+
+
 def _step_tflop(mcfg, text_len, cap_len, batch):
     """Approximate fwd+bwd TFLOP per step (matmul-dominated terms only):
     dense transformer 72·B·S·H² + attention 12·B·S²·H per layer-triple
@@ -153,6 +208,8 @@ def main():
     per_step16, _ = _measure(mcfg, 16, bucket_text, bucket_cap)
     bs64, _ = _measure(mcfg, 64, bucket_text, bucket_cap, scan_k=scan_k)
     fixed512, _ = _measure(mcfg, 16, mcfg.max_text_len, mcfg.max_caption_len)
+    driver16, _ = _measure_driver_path(mcfg, 16, bucket_text, bucket_cap,
+                                       scan_k)
 
     mfu = _step_tflop(mcfg, bucket_text, bucket_cap, 16) / dt / PEAK_TFLOPS
 
@@ -182,13 +239,16 @@ def main():
             "per_step_dispatch_bs16": round(per_step16, 2),
             "fixed_seq512_bs16": round(fixed512, 2),
             "bucketed_bs64_scan": round(bs64, 2),
+            "driver_path_bs16": round(driver16, 2),
             "step_ms_bs16": round(dt * 1e3, 1),
             "approx_matmul_mfu_bs16": round(mfu, 3),
             "note": ("image pixels synthetic (no image tarball in this "
                      "environment); token ids random — identical compute "
                      "to real data. scan-fused = cfg.scan_steps (K "
-                     "optimizer steps per device dispatch, the production "
-                     "train-loop path). vs_baseline scales the torch-CPU "
+                     "optimizer steps per device dispatch). driver_path = "
+                     "device-resident dataset + in-step row-gather + "
+                     "uint8 pixels with full on-device augmentation (what "
+                     "`cli train` runs). vs_baseline scales the torch-CPU "
                      "fixed-512 measurement to the bucketed workload by "
                      "matmul FLOPs."),
         },
