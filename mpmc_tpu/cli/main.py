@@ -346,11 +346,20 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO,
                         format="%(levelname)s : %(message)s")
     try:
+        import os
+
         import jax
         # Faster dropout-mask generation on TPU (measured ~20% step-time win
         # on the flagship model); numerically a different-but-equally-random
         # PRNG stream.
         jax.config.update("jax_default_prng_impl", "rbg")
+        # Persistent compilation cache: every fold rebuilds its jitted step
+        # closures, so without this each of the k folds (and every rerun)
+        # pays the full XLA compile (~minutes per program on a tunneled
+        # chip); with it, fold 1+ and warm reruns load from disk in seconds.
+        os.makedirs(".cache/jax", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", ".cache/jax")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
     parser = argparse.ArgumentParser(prog="mpmc_tpu")
