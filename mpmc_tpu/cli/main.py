@@ -117,7 +117,8 @@ def _cmd_train(args):
                       learning_rate=args.lr,
                       checkpoint_dir=args.checkpoint_dir,
                       scan_steps=args.scan_steps,
-                      adam_mu_dtype=args.adam_mu_dtype)
+                      adam_mu_dtype=args.adam_mu_dtype,
+                      profile_dir=args.profile_dir)
     pretrained = PretrainedSpec(text=args.text_params,
                                 caption=args.caption_params,
                                 image=args.image_params)
@@ -441,6 +442,9 @@ def main(argv=None):
                    help=">1 fuses this many optimizer steps into one jitted "
                         "lax.scan dispatch (amortizes per-launch host "
                         "round-trips on remote TPU links)")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of steady-state "
+                        "train dispatches (view in TensorBoard/XProf)")
     p.add_argument("--adam-mu-dtype", default=None,
                    choices=[None, "bfloat16", "float32"],
                    help="Adam first-moment dtype (bfloat16 halves its HBM "

@@ -280,6 +280,10 @@ class TrainConfig:
     emit_val_tsv: bool = False  # 2A also dumps val-split TSVs (:464-468)
     checkpoint_dir: Optional[str] = None
     resume: bool = False
+    # When set, fit() captures a jax.profiler trace (viewable in
+    # TensorBoard/XProf) around a few steady-state train dispatches of
+    # epoch 0 — first-class observability the reference lacks (SURVEY §5.1).
+    profile_dir: Optional[str] = None
     # Adam first-moment accumulator dtype (optax mu_dtype).  "bfloat16"
     # halves the HBM traffic of the mu read-modify-write on ~270M flagship
     # params; the variance accumulator stays f32.  None keeps torch-Adam

@@ -289,6 +289,7 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
     step_count = 0
     from mpmc_tpu.utils.profiling import StepTimer
     timer = StepTimer()
+    dispatch_no, prof_started, prof_done = 0, False, False
 
     # Metric fetches are batched per logging window instead of per step:
     # a per-step float(metrics["loss"]) blocks async dispatch and costs one
@@ -354,6 +355,18 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
         for dev_batch, host_batch, n_valid in prefetch_batches(
                 grouped, put_fn):
             group_size = len(n_valid) if isinstance(n_valid, list) else 1
+            if cfg.profile_dir and epoch == 0 and not prof_done:
+                # Trace dispatches 3-5: dispatch 1 carries the XLA compile,
+                # 2 the device warm-up — 3+ are steady state.
+                dispatch_no += 1
+                if dispatch_no == 3 and not prof_started:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                    prof_started = True
+                elif dispatch_no == 6 and prof_started:
+                    flush_metrics()  # sync so the traced work has retired
+                    jax.profiler.stop_trace()
+                    prof_done = True
+                    log.info("profiler trace written to %s", cfg.profile_dir)
             dropout_key, sub = jax.random.split(dropout_key)
             if use_gather:
                 fn = (gather_steps.scan_train if group_size > 1

@@ -105,6 +105,17 @@ def test_fit_aborts_on_nonfinite(rng, tmp_path, monkeypatch):
     assert len(dumps) == 1
 
 
+def test_fit_profile_dir_writes_trace(rng, tmp_path):
+    """cfg.profile_dir captures a steady-state jax.profiler trace."""
+    cfg = TrainConfig(data=DataConfig(batch_size=8), epochs=1,
+                      profile_dir=str(tmp_path / "trace"))
+    train_step, eval_step = _stub_steps()
+    data = _data(rng, 80)  # 10 dispatches > the trace window [3, 6)
+    fit(_state(), train_step, eval_step, cfg, data)
+    import glob
+    assert glob.glob(str(tmp_path / "trace" / "**" / "*"), recursive=True)
+
+
 def test_batch_iter_replicate_pad_and_valid_mask(rng):
     """Final short batch is padded with replicated *real* rows (never zeros)
     and the `valid` mask marks exactly the real rows (ADVICE r1: zero-row
