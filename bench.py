@@ -203,13 +203,28 @@ def main():
     # (bucket_seq_len over the train+dev manifests; multiples of 64).
     bucket_text, bucket_cap = 128, 64
     scan_k = int(os.environ.get("MPMC_BENCH_SCAN", "8"))
+    # Soft budget for the non-headline extras: every config compiles its
+    # own programs (~minutes each through a tunneled chip), and the
+    # headline JSON line must always make it out.
+    budget_s = float(os.environ.get("MPMC_BENCH_BUDGET_S", "2400"))
+    t_start = time.perf_counter()
 
     headline, dt = _measure(mcfg, 16, bucket_text, bucket_cap, scan_k=scan_k)
-    per_step16, _ = _measure(mcfg, 16, bucket_text, bucket_cap)
-    bs64, _ = _measure(mcfg, 64, bucket_text, bucket_cap, scan_k=scan_k)
-    fixed512, _ = _measure(mcfg, 16, mcfg.max_text_len, mcfg.max_caption_len)
-    driver16, _ = _measure_driver_path(mcfg, 16, bucket_text, bucket_cap,
-                                       scan_k)
+
+    def extra(fn, *a, **kw):
+        if time.perf_counter() - t_start > budget_s:
+            return None
+        try:
+            return fn(*a, **kw)[0]
+        except Exception:
+            return None
+
+    driver16 = extra(_measure_driver_path, mcfg, 16, bucket_text,
+                     bucket_cap, scan_k)
+    bs64 = extra(_measure, mcfg, 64, bucket_text, bucket_cap, scan_k=scan_k)
+    per_step16 = extra(_measure, mcfg, 16, bucket_text, bucket_cap)
+    fixed512 = extra(_measure, mcfg, 16, mcfg.max_text_len,
+                     mcfg.max_caption_len)
 
     mfu = _step_tflop(mcfg, bucket_text, bucket_cap, 16) / dt / PEAK_TFLOPS
 
@@ -236,10 +251,12 @@ def main():
         "unit": "memes/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
         "extras": {
-            "per_step_dispatch_bs16": round(per_step16, 2),
-            "fixed_seq512_bs16": round(fixed512, 2),
-            "bucketed_bs64_scan": round(bs64, 2),
-            "driver_path_bs16": round(driver16, 2),
+            # None = skipped (bench time budget MPMC_BENCH_BUDGET_S hit)
+            "per_step_dispatch_bs16": (round(per_step16, 2)
+                                       if per_step16 else None),
+            "fixed_seq512_bs16": round(fixed512, 2) if fixed512 else None,
+            "bucketed_bs64_scan": round(bs64, 2) if bs64 else None,
+            "driver_path_bs16": round(driver16, 2) if driver16 else None,
             "step_ms_bs16": round(dt * 1e3, 1),
             "approx_matmul_mfu_bs16": round(mfu, 3),
             "note": ("image pixels synthetic (no image tarball in this "

@@ -391,15 +391,19 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
             if test_data is not None and (bi % check_interval == 0
                                           or bi == steps_per_epoch):
                 flush_metrics()
-                t_res = run_eval(state, eval_step, test_data, bs, put,
-                                 scan_eval_step=scan_eval_step,
-                                 scan_k=cfg.scan_steps,
-                                 put_stacked=put_stacked,
-                                 gather_eval=(gather_steps.eval
-                                              if use_gather else None),
-                                 gather_scan_eval=(gather_steps.scan_eval
-                                                   if use_gather else None),
-                                 dev=dev_test)
+
+                def _eval(split_data, dev_split):
+                    return run_eval(
+                        state, eval_step, split_data, bs, put,
+                        scan_eval_step=scan_eval_step,
+                        scan_k=cfg.scan_steps, put_stacked=put_stacked,
+                        gather_eval=(gather_steps.eval
+                                     if use_gather else None),
+                        gather_scan_eval=(gather_steps.scan_eval
+                                          if use_gather else None),
+                        dev=dev_split)
+
+                t_res = _eval(test_data, dev_test)
                 history.append({"epoch": epoch, "batch": bi,
                                 "test_f1": t_res.macro_f1,
                                 "test_loss": t_res.loss})
@@ -409,16 +413,7 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
                          t_res.macro_f1, t_res.threshold)
                 v_res = None
                 if val_data is not None:
-                    v_res = run_eval(state, eval_step, val_data, bs, put,
-                                     scan_eval_step=scan_eval_step,
-                                     scan_k=cfg.scan_steps,
-                                     put_stacked=put_stacked,
-                                     gather_eval=(gather_steps.eval
-                                                  if use_gather else None),
-                                     gather_scan_eval=(gather_steps.scan_eval
-                                                       if use_gather
-                                                       else None),
-                                     dev=dev_val)
+                    v_res = _eval(val_data, dev_val)
                     log.info("  VAL | Epoch [%d] | F1: %.4f", epoch,
                              v_res.macro_f1)
                 if t_res.macro_f1 > best_f1:
