@@ -78,8 +78,47 @@ def make_fold_parallel_scan_train_step(step_fn: Callable, mesh: Mesh,
 
         return jax.lax.scan(body, states, (batches, keys))
 
+    # metrics come back [K, F]: the fold axis is dim 1, the scan axis whole
+    metrics_sh = NamedSharding(mesh, P(None, fold_axis))
     return jax.jit(scan_fn, in_shardings=(state_sh, batch_sh, keys_sh),
-                   out_shardings=(state_sh, state_sh), donate_argnums=(0,))
+                   out_shardings=(state_sh, metrics_sh), donate_argnums=(0,))
+
+
+def make_fold_parallel_gather_scan_step(step_fn: Callable, mesh: Mesh,
+                                        scan_steps: int,
+                                        fold_axis: str = "fold",
+                                        data_axis: str = "data"):
+    """Device-resident + scan-fused fold-parallel: the dataset pytree lives
+    in HBM (replicated across the mesh) and each dispatch ships only
+    ``idx [K, F, B]`` int32 rows + ``valid [K, F, B]`` — each fold gathers
+    its own batch on device, then the vmapped step advances all folds, K
+    times per launch."""
+    if scan_steps < 1:
+        raise ValueError(f"scan_steps must be >= 1, got {scan_steps}")
+
+    def fold_step(state, data, idx, valid, key):
+        batch = jax.tree_util.tree_map(lambda a: a[idx], data)
+        batch["valid"] = valid
+        return step_fn(state, batch, key)
+
+    vstep = jax.vmap(fold_step, in_axes=(0, None, 0, 0, 0))
+    state_sh = NamedSharding(mesh, P(fold_axis))
+    repl = NamedSharding(mesh, P())
+    idx_sh = NamedSharding(mesh, P(None, fold_axis, data_axis))
+    keys_sh = NamedSharding(mesh, P(None, fold_axis))
+
+    def scan_fn(states, data, idx, valid, keys):
+        def body(st, xs):
+            ib, vb, kk = xs
+            return vstep(st, data, ib, vb, kk)
+
+        return jax.lax.scan(body, states, (idx, valid, keys))
+
+    # metrics come back [K, F]: the fold axis is dim 1, the scan axis whole
+    metrics_sh = NamedSharding(mesh, P(None, fold_axis))
+    return jax.jit(scan_fn,
+                   in_shardings=(state_sh, repl, idx_sh, idx_sh, keys_sh),
+                   out_shardings=(state_sh, metrics_sh), donate_argnums=(0,))
 
 
 def make_fold_parallel_eval_step(eval_fn: Callable, mesh: Mesh,
@@ -89,4 +128,20 @@ def make_fold_parallel_eval_step(eval_fn: Callable, mesh: Mesh,
     state_sh = NamedSharding(mesh, P(fold_axis))
     batch_sh = NamedSharding(mesh, P(fold_axis, data_axis))
     return jax.jit(vstep, in_shardings=(state_sh, batch_sh),
+                   out_shardings=state_sh)
+
+
+def make_fold_parallel_gather_eval_step(eval_fn: Callable, mesh: Mesh,
+                                        fold_axis: str = "fold"):
+    """Eval all folds over one device-resident test batch: ``idx [B]`` rows
+    of the resident test split, shared across folds (the CV test split is
+    common — SURVEY.md C20)."""
+
+    def fold_eval(state, data, idx):
+        return eval_fn(state, jax.tree_util.tree_map(lambda a: a[idx], data))
+
+    vstep = jax.vmap(fold_eval, in_axes=(0, None, None))
+    state_sh = NamedSharding(mesh, P(fold_axis))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(vstep, in_shardings=(state_sh, repl, repl),
                    out_shardings=state_sh)

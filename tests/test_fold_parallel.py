@@ -20,7 +20,8 @@ def test_fold_parallel_two_folds(rng, tmp_path):
     mcfg = dataclasses.replace(ModelConfig.tiny_2c(), num_classes=2,
                                pooling=PoolingType.CLS)
     cfg = TrainConfig(model=mcfg,
-                      data=DataConfig(batch_size=8, num_folds=2),
+                      data=DataConfig(batch_size=8, num_folds=2,
+                                      device_resident=False),
                       mesh=MeshConfig(num_fold_shards=2),
                       epochs=3, learning_rate=2e-3,
                       loss=LossType.CROSS_ENTROPY)
@@ -63,9 +64,10 @@ def test_fold_parallel_two_folds(rng, tmp_path):
 
 
 def test_fold_parallel_scan_fused(rng, tmp_path):
-    """cfg.scan_steps > 1 in the fold-parallel driver: K steps × all folds
-    per dispatch ([K, F, B, ...] batches, (None, fold, data) sharding) —
-    folds still learn and TSVs still emit."""
+    """cfg.scan_steps > 1 in the fold-parallel driver with the (default)
+    device-resident dataset: K steps × all folds per dispatch, only
+    [K, F, B] indices cross the host link; odd steps_per_epoch exercises
+    the single-step gather remainder — folds still learn, TSVs emit."""
     mcfg = dataclasses.replace(ModelConfig.tiny_2c(), num_classes=2,
                                pooling=PoolingType.CLS)
     cfg = TrainConfig(model=mcfg,
@@ -74,7 +76,7 @@ def test_fold_parallel_scan_fused(rng, tmp_path):
                       epochs=3, learning_rate=2e-3,
                       loss=LossType.CROSS_ENTROPY, scan_steps=2)
 
-    n = 64
+    n = 72  # 9 steps/epoch -> 4 scan groups + 1 single-gather remainder
     y = (rng.random(n) > 0.5).astype(np.int32)
     ids = rng.integers(5, mcfg.text.vocab_size, (n, 16)).astype(np.int32)
     ids[:, 0] = y * 3 + 1
