@@ -17,6 +17,7 @@ mesh the batch arrives sharded and XLA inserts the gradient all-reduce
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -207,10 +208,7 @@ def make_scan_train_step(apply_fn: ApplyFn, cfg: TrainConfig,
     return jax.jit(scan_fn, donate_argnums=(0,) if donate else ())
 
 
-import dataclasses as _dc
-
-
-@_dc.dataclass
+@dataclasses.dataclass
 class GatherSteps:
     """The four jitted step variants over a device-resident dataset
     (DataConfig.device_resident): per-step and scan-fused, train and eval."""
