@@ -111,6 +111,15 @@ def _cmd_train(args):
         model = ModelConfig.tiny_2c()
     else:
         model = ModelConfig()
+    if args.image_arch or args.image_size:
+        # 2B zoo selection (reference Untitled-2.py `nets`, C22): swap the
+        # image backbone/resolution of whatever preset is active.
+        img = model.image
+        img = dataclasses.replace(
+            img,
+            arch=args.image_arch or img.arch,
+            image_size=args.image_size or img.image_size)
+        model = dataclasses.replace(model, image=img)
     mesh = MeshConfig(num_fold_shards=args.fold_shards,
                       num_data_shards=args.data_shards)
     cfg = TrainConfig(model=model, data=data, mesh=mesh, epochs=args.epochs,
@@ -130,7 +139,7 @@ def _cmd_train(args):
     if args.subtask == "2a":
         result = run_subtask_2a(cfg, vocab_path=args.vocab, **kwargs)
     elif args.subtask == "2b":
-        result = run_subtask_2b(cfg, **kwargs)
+        result = run_subtask_2b(cfg, binary_head=args.binary_head, **kwargs)
     else:
         result = run_subtask_2c(cfg, vocab_path=args.vocab,
                                 caption_vocab_path=args.caption_vocab,
@@ -442,6 +451,17 @@ def main(argv=None):
                    help=">1 fuses this many optimizer steps into one jitted "
                         "lax.scan dispatch (amortizes per-launch host "
                         "round-trips on remote TPU links)")
+    p.add_argument("--image-arch", default=None,
+                   help="image backbone from the 2B zoo (resnet18, "
+                        "resnet50, resnext50_32x4d, seresnext50_32x4d, "
+                        "vit_base_16, vit_base_32, vit_large_16, "
+                        "convnext_tiny, efficientnet_b0..b4, tiny_resnet)")
+    p.add_argument("--image-size", type=int, default=None,
+                   help="input resolution (reference zoo uses 384 for the "
+                        "ViT/EfficientNet variants, Untitled-2.py:47)")
+    p.add_argument("--binary-head", action="store_true",
+                   help="2B: l2-normalized scaled BinaryHead "
+                        "(Untitled-2.py:164-179)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of steady-state "
                         "train dispatches (view in TensorBoard/XProf)")

@@ -59,6 +59,20 @@ def test_cli_predict_2a(tmp_path, capsys):
     assert len(ids) == 312 and np.all((p >= 0) & (p <= 1))
 
 
+def test_cli_train_2b_image_arch_selection(tmp_path, capsys):
+    """--image-arch/--image-size swap the 2B zoo backbone (C22 `nets`,
+    Untitled-2.py:362-371) from the CLI; --binary-head wires the
+    l2-normalized head."""
+    assert main(["train", "--subtask", "2b", "--tiny",
+                 "--image-arch", "tiny_resnet", "--image-size", "32",
+                 "--binary-head", "--epochs", "1", "--num-folds", "2",
+                 "--fold", "0", "--batch-size", "8", "--scan-steps", "2",
+                 "-tr", TRAIN, "-te", DEV,
+                 "-o", str(tmp_path)]) == 0
+    import os
+    assert os.path.exists(str(tmp_path / "task2B_kevinmathew.tsv"))
+
+
 def test_cli_baselines_2a(tmp_path, capsys):
     assert main(["baselines", "--subtask", "2a", "-tr", TRAIN, "-te", DEV,
                  "-o", str(tmp_path)]) == 0
