@@ -310,6 +310,11 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
             from mpmc_tpu.train.checkpoint import Checkpointer
             checkpointer = Checkpointer(
                 os.path.join(cfg.checkpoint_dir, f"fold_{k}"))
+            if cfg.resume:
+                # Exact-state resume (SURVEY.md §5.4 — the reference has no
+                # checkpointing at all): params + optimizer state + step.
+                state = checkpointer.restore_latest(state)
+                state = place_state(state)
         res = fit(state, train_step, eval_step, cfg, train_d,
                   test_data=t_data, val_data=val_d, test_ids=t_ids,
                   val_ids=[ids[i] for i in va_idx],

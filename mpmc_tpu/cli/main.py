@@ -125,6 +125,7 @@ def _cmd_train(args):
     cfg = TrainConfig(model=model, data=data, mesh=mesh, epochs=args.epochs,
                       learning_rate=args.lr,
                       checkpoint_dir=args.checkpoint_dir,
+                      resume=args.resume,
                       scan_steps=args.scan_steps,
                       adam_mu_dtype=args.adam_mu_dtype,
                       profile_dir=args.profile_dir)
@@ -447,6 +448,10 @@ def main(argv=None):
                         "backbone (resnet18/50, ViT, ConvNeXt)")
     p.add_argument("--checkpoint-dir", default=None,
                    help="orbax checkpoint dir (also receives vocab files)")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint per fold from "
+                        "--checkpoint-dir before training (exact state: "
+                        "params + optimizer + step)")
     p.add_argument("--scan-steps", type=int, default=1,
                    help=">1 fuses this many optimizer steps into one jitted "
                         "lax.scan dispatch (amortizes per-launch host "

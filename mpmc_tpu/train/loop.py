@@ -286,7 +286,9 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
     best_f1, best_thr, best_probs = -1.0, 0.5, None
     history: List[Dict] = []
     run_id = f"{cfg.team_name}_{cfg.run_id}"
-    step_count = 0
+    # Continue the optimizer-step numbering of a restored checkpoint so
+    # resumed runs save at monotonically increasing step ids.
+    step_count = int(np.asarray(jax.device_get(state.step)))
     from mpmc_tpu.utils.profiling import StepTimer
     timer = StepTimer()
     dispatch_no, prof_started, prof_done = 0, False, False

@@ -173,3 +173,24 @@ def test_train_checkpoint_predict_roundtrip(rng, tmp_path, monkeypatch):
     got = np.array([m[0] for m in matched])
     want = np.array([m[1] for m in matched])
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_cli_train_resume_restores_state(rng, tmp_path, monkeypatch):
+    """train --resume restores the fold's latest checkpoint (exact state
+    incl. the optimizer step counter) before continuing."""
+    monkeypatch.chdir(tmp_path)
+    from mpmc_tpu.cli.main import main
+    from mpmc_tpu.train.checkpoint import Checkpointer
+
+    ckpt = str(tmp_path / "ckpt")
+    args = ["train", "--subtask", "2a", "--small", "--epochs", "1",
+            "--fold", "0", "--num-folds", "5", "--batch-size", "32",
+            "--lr", "3e-4", "--out-dir", str(tmp_path / "out"),
+            "--checkpoint-dir", ckpt]
+    assert main(args) == 0
+    step1 = Checkpointer(os.path.join(ckpt, "fold_0")).manager.latest_step()
+    assert step1 and step1 > 0
+    # resumed run starts from step1, so its best-checkpoint step exceeds it
+    assert main(args + ["--resume"]) == 0
+    step2 = Checkpointer(os.path.join(ckpt, "fold_0")).manager.latest_step()
+    assert step2 > step1
