@@ -129,7 +129,12 @@ def _scan_groups(it: Iterator[Tuple[Dict[str, np.ndarray], int]],
     groups are stacked on a leading axis (yielded with the list of per-step
     n_valid), smaller groups fall through as single steps."""
     for size in plan:
-        items = [next(it) for _ in range(size)]
+        try:
+            items = [next(it) for _ in range(size)]
+        except StopIteration as e:  # pragma: no cover - plan/iter invariant
+            raise RuntimeError(
+                "scan group plan is longer than the batch iterator — "
+                "plan must be built from the same steps_per_epoch") from e
         if size == k:
             stacked = {key: np.stack([b[key] for b, _ in items])
                        for key in items[0][0]}
