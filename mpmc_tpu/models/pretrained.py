@@ -103,9 +103,18 @@ def _splice(variables: Dict, col: str, path: Tuple[str, ...], new) -> Dict:
 def _convert_text(path: str, text_cfg, dst: Dict) -> Dict:
     """Convert a BERT-family checkpoint; keep the model's initialized
     pooler/token-type tables when the checkpoint ships without them (some
-    RoBERTa dumps drop the unused pooler)."""
+    RoBERTa dumps drop the unused pooler).
+
+    Flax-tree npz files written by ``train.pretrain.save_encoder_params``
+    (corpus MLM pretraining) are recognized by their marker entry and
+    spliced directly — no torch-layout conversion involved."""
     from mpmc_tpu.models.hf_convert import convert_bert_state_dict
-    conv = convert_bert_state_dict(load_state_dict(path), text_cfg)
+    sd = load_state_dict(path)
+    if "__flax_encoder__" in sd:
+        from mpmc_tpu.train.pretrain import unflatten_params
+        conv = unflatten_params(sd)
+    else:
+        conv = convert_bert_state_dict(sd, text_cfg)
     for key in ("pooler", "token_type_embeddings"):
         if key in dst and key not in conv:
             conv[key] = dst[key]

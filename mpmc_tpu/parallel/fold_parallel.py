@@ -132,16 +132,23 @@ def make_fold_parallel_eval_step(eval_fn: Callable, mesh: Mesh,
 
 
 def make_fold_parallel_gather_eval_step(eval_fn: Callable, mesh: Mesh,
-                                        fold_axis: str = "fold"):
-    """Eval all folds over one device-resident test batch: ``idx [B]`` rows
-    of the resident test split, shared across folds (the CV test split is
-    common — SURVEY.md C20)."""
+                                        fold_axis: str = "fold",
+                                        per_fold_idx: bool = False):
+    """Eval all folds over one device-resident batch.
+
+    ``per_fold_idx=False``: ``idx [B]`` rows of the resident test split,
+    shared across folds (the 2C CV pattern — common dev split, SURVEY.md
+    C20).  ``per_fold_idx=True``: ``idx [F, B]`` — each fold gathers its OWN
+    rows, which is how the 2A per-fold held-out eval scores each fold on its
+    validation split without leaking its training rows."""
 
     def fold_eval(state, data, idx):
         return eval_fn(state, jax.tree_util.tree_map(lambda a: a[idx], data))
 
-    vstep = jax.vmap(fold_eval, in_axes=(0, None, None))
+    vstep = jax.vmap(fold_eval,
+                     in_axes=(0, None, 0 if per_fold_idx else None))
     state_sh = NamedSharding(mesh, P(fold_axis))
     repl = NamedSharding(mesh, P())
-    return jax.jit(vstep, in_shardings=(state_sh, repl, repl),
+    idx_sh = NamedSharding(mesh, P(fold_axis)) if per_fold_idx else repl
+    return jax.jit(vstep, in_shardings=(state_sh, repl, idx_sh),
                    out_shardings=state_sh)

@@ -67,3 +67,45 @@ class BatchTokenizer:
             os.makedirs(self.cache_dir, exist_ok=True)
             np.savez(path, ids=batch.ids, mask=batch.mask)
         return batch
+
+
+class HybridWordPieceTokenizer:
+    """Python-held vocab with the C++ batch tokenizer on the encode path.
+
+    The drivers need the Python-side surface (``vocab`` for encoder sizing,
+    ``save`` for predict-time vocab persistence) AND the GIL-free
+    multi-threaded C++ encoder (``native/tokenizer.cpp``) for the actual
+    corpus pass — this class is both: the WordPiece vocab is loaded in
+    Python, ``encode_batch`` delegates to ``NativeWordPieceTokenizer``
+    through the ``BatchTokenizer`` npz disk cache.  Token-id parity between
+    the two backends is pinned by tests/test_native.py and the driver-level
+    corpus test.
+    """
+
+    def __init__(self, vocab, vocab_path: str,
+                 cache_dir: Optional[str] = None,
+                 do_lower_case: bool = False):
+        from mpmc_tpu.text.native import NativeWordPieceTokenizer
+        from mpmc_tpu.text.wordpiece import WordPieceTokenizer
+        self._py = WordPieceTokenizer(vocab, do_lower_case=do_lower_case)
+        self._native = NativeWordPieceTokenizer(
+            vocab_path, do_lower_case=do_lower_case)
+        self._cache_dir = cache_dir
+        self.backend_name = "native-c++"
+
+    @property
+    def vocab(self):
+        return self._py.vocab
+
+    def save(self, vocab_path: str) -> None:
+        self._py.save(vocab_path)
+
+    def encode(self, text: str, max_length: int):
+        ids, mask = self.encode_batch([text], max_length)
+        return ids[0], mask[0]
+
+    def encode_batch(self, texts: Sequence[str], max_length: int):
+        bt = BatchTokenizer(self._native, max_length,
+                            cache_dir=self._cache_dir)
+        out = bt(list(texts))
+        return out.ids, out.mask

@@ -294,6 +294,24 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
     # Continue the optimizer-step numbering of a restored checkpoint so
     # resumed runs save at monotonically increasing step ids.
     step_count = int(np.asarray(jax.device_get(state.step)))
+    # Resume from the interrupted position, not epoch 0: a restored state
+    # carries its optimizer step, so completed epochs are skipped (replaying
+    # them would re-train at the schedule's decayed/zero tail LR).  The
+    # per-epoch data shuffles of the skipped epochs are consumed so the
+    # remaining epochs see the same batch order they would have originally.
+    start_epoch = min(step_count // steps_per_epoch, cfg.epochs)
+    if start_epoch:
+        if start_epoch >= cfg.epochs:
+            log.warning(
+                "restored step %d already covers all %d epochs "
+                "(steps_per_epoch=%d) — nothing to train; increase "
+                "cfg.epochs to continue training", step_count, cfg.epochs,
+                steps_per_epoch)
+        else:
+            log.info("resuming at epoch %d/%d (restored step %d)",
+                     start_epoch, cfg.epochs, step_count)
+        for _ in range(start_epoch):
+            data_rng.shuffle(np.arange(n_train))
     from mpmc_tpu.utils.profiling import StepTimer
     timer = StepTimer()
     dispatch_no, prof_started, prof_done = 0, False, False
@@ -310,6 +328,24 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
     last_grad_norm = 0.0
     losses: List[float] = []
 
+    # Abs→local row lookup for the failure dump: in device-resident mode the
+    # per-step host payload is only the {idx, valid} dict, so the offending
+    # batch contents are re-materialized from the host-side split arrays.
+    local_of = None
+    if use_gather and len(dev_train.abs_idx):
+        local_of = np.zeros(int(np.max(dev_train.abs_idx)) + 1, np.int64)
+        local_of[dev_train.abs_idx] = np.arange(len(dev_train.abs_idx))
+
+    def _dump_payload(host_batch: Dict[str, np.ndarray], j: int) -> Dict:
+        payload = {k: np.asarray(v) for k, v in host_batch.items()}
+        if local_of is not None and "idx" in payload:
+            idx = payload["idx"]
+            step_idx = idx[j] if idx.ndim == 2 else idx  # scan group → step j
+            payload.update({k: np.asarray(v)[local_of[step_idx]]
+                            for k, v in train_data.items()})
+            payload["idx"] = step_idx
+        return payload
+
     def flush_metrics():
         nonlocal last_grad_norm
         if not pending:
@@ -324,8 +360,7 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
                 if not np.isfinite(loss_val):
                     step_bi = bi_ - (len(loss_vec) - 1 - j)
                     dump = f"nonfinite_fold{fold}_epoch{ep}_batch{step_bi}.npz"
-                    np.savez(dump, **{k: np.asarray(v)
-                                      for k, v in host_batch.items()},
+                    np.savez(dump, **_dump_payload(host_batch, j),
                              grad_norm=gnorm)
                     pending.clear()
                     raise FloatingPointError(
@@ -335,7 +370,7 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
             last_grad_norm = float(gnorm_vec[-1])
         pending.clear()
 
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
         losses = []
         if use_gather:

@@ -63,10 +63,24 @@ def _param_group(path: Tuple) -> str:
 
 
 def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransformation:
-    warmup = int(cfg.warmup_fraction * total_steps)
-    head_sched = linear_warmup_schedule(cfg.learning_rate, warmup, total_steps)
-    enc_sched = linear_warmup_schedule(cfg.learning_rate * cfg.encoder_lr_scale,
-                                       warmup, total_steps)
+    if cfg.lr_schedule == "constant":
+        # Reference 2A recipe: ``scheduler = None``
+        # (textmodel_example_task2A.py:574-576) — flat base LR, no decay.
+        # Expressed as a schedule (not a float) so the optax state tree has
+        # the same structure either way — checkpoints restore across
+        # schedule settings.
+        head_sched = optax.constant_schedule(cfg.learning_rate)
+        enc_sched = optax.constant_schedule(
+            cfg.learning_rate * cfg.encoder_lr_scale)
+    elif cfg.lr_schedule == "linear_warmup":
+        warmup = int(cfg.warmup_fraction * total_steps)
+        head_sched = linear_warmup_schedule(cfg.learning_rate, warmup,
+                                            total_steps)
+        enc_sched = linear_warmup_schedule(
+            cfg.learning_rate * cfg.encoder_lr_scale, warmup, total_steps)
+    else:
+        raise ValueError(f"unknown lr_schedule: {cfg.lr_schedule!r} "
+                         "(expected 'linear_warmup' or 'constant')")
     mu_dtype = cfg.adam_mu_dtype  # e.g. "bfloat16" halves mu HBM traffic
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip_norm),

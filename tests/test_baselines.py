@@ -63,3 +63,48 @@ def test_feature_svm_pipeline(tmp_path):
         str(trp), str(dvp), TRAIN, DEV, str(tmp_path / "svm.tsv"),
         use_text=True)
     assert f1 > 0.9  # separable synthetic features
+
+
+def test_feature_svm_uses_reference_classifier(tmp_path):
+    """Prediction-level pin to the reference classifier ``SVC(C=1,
+    kernel='linear', random_state=0)`` (subtask_2b.py:96, subtask_2c.py:85).
+    Features overlap (sep=0.5) so libsvm-SVC and LinearSVC genuinely
+    disagree on some rows — the pin is meaningful."""
+    import json
+
+    import numpy as np
+    from sklearn.svm import SVC
+
+    from mpmc_tpu.baselines import run_feature_svm_baseline
+    from mpmc_tpu.io.manifest import read_manifest
+    from mpmc_tpu.io.tsv import read_predictions
+
+    rng = np.random.default_rng(7)
+    train = read_manifest(TRAIN)
+    dev = read_manifest(DEV)
+
+    def feats(split):
+        return {kind: {i: (rng.standard_normal(8) + 0.5 * y).tolist()
+                       for i, y in zip(split.ids, split.labels)}
+                for kind in ("imgfeats", "textfeats")}
+
+    tr_feats, dv_feats = feats(train), feats(dev)
+    trp, dvp = tmp_path / "tr.json", tmp_path / "dv.json"
+    trp.write_text(json.dumps(tr_feats))
+    dvp.write_text(json.dumps(dv_feats))
+    out = tmp_path / "svm.tsv"
+    run_feature_svm_baseline(str(trp), str(dvp), TRAIN, DEV, str(out),
+                             use_text=True)
+    ids, labels = read_predictions(str(out))
+    ours = {i: lbl for i, lbl in zip(ids, labels)}
+
+    def concat(split, table):
+        return np.asarray([table["imgfeats"][i] + table["textfeats"][i]
+                           for i in split.ids], dtype=np.float32)
+
+    ref = SVC(C=1, kernel="linear", random_state=0)
+    ref.fit(concat(train, tr_feats), train.labels)
+    ref_pred = ref.predict(concat(dev, dv_feats))
+    id2l = {0: "not_propaganda", 1: "propaganda"}
+    for i, p in zip(dev.ids, ref_pred):
+        assert ours[i] == id2l[int(p)]

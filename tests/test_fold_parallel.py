@@ -124,3 +124,79 @@ def test_driver_fold_parallel_2a(rng, tmp_path):
     import os
     for k in range(2):
         assert os.path.exists(str(tmp_path / f"task2A_kevinmathew_probs_fold_{k}.tsv"))
+
+
+def test_fold_parallel_reference_semantics(rng, tmp_path, caplog):
+    """VERDICT r2 #4: the fold-parallel driver now has the reference's
+    training semantics — mid-epoch eval at check_interval (C17 cadence),
+    per-fold best-F1 TSV dumps, ceil steps_per_epoch, per-fold orbax
+    checkpoints, and per-fold HELD-OUT eval in 2A mode (test_data=None):
+    each fold is scored only on its own validation rows."""
+    import logging
+    import os
+
+    mcfg = dataclasses.replace(ModelConfig.tiny_2c(), num_classes=2,
+                               pooling=PoolingType.CLS)
+    cfg = TrainConfig(model=mcfg,
+                      data=DataConfig(batch_size=8, num_folds=2),
+                      mesh=MeshConfig(num_fold_shards=2),
+                      epochs=2, learning_rate=2e-3, eval_per_epoch=2,
+                      loss=LossType.CROSS_ENTROPY, scan_steps=2,
+                      emit_threshold=0.5, emit_val_tsv=True)
+
+    n = 68  # fold train size 34 → ceil(34/8) = 5 steps (floor loses one)
+    y = (rng.random(n) > 0.5).astype(np.int32)
+    tok = rng.integers(5, mcfg.text.vocab_size, (n, 16)).astype(np.int32)
+    tok[:, 0] = y * 3 + 1
+    data = {"text_ids": tok, "text_mask": np.ones_like(tok), "label": y}
+    all_ids = [f"d/x/img_{i}.jpg" for i in range(n)]
+
+    model = TextClassifier(mcfg)
+    apply_fn = make_apply_fn(model, "text")
+    tx = make_optimizer(cfg, total_steps=cfg.epochs * 10)
+
+    def init_fold_state(k):
+        variables = model.init(jax.random.key(k), data["text_ids"][:2],
+                               data["text_mask"][:2])
+        return create_train_state(variables, tx)[0]
+
+    step_fn = build_train_step_fn(apply_fn, cfg, tx)
+    eval_raw = make_eval_step(apply_fn, cfg)
+    mesh = make_mesh(cfg.mesh)
+    prefix = str(tmp_path / "task2A_sem")
+    ckpt_dir = str(tmp_path / "ckpt")
+    with caplog.at_level(logging.INFO, logger="mpmc_tpu.cv.fold_driver"):
+        results = fit_folds_parallel(
+            cfg, init_fold_state, step_fn, lambda s, b: eval_raw(s, b),
+            data, None, None, mesh, tsv_prefix=prefix, ids=all_ids,
+            checkpoint_dir=ckpt_dir)
+
+    # ceil steps_per_epoch = 5, check_interval = 2 → evals at 2, 4, 5
+    evals_per_epoch = len([i for i in range(1, 6) if i % 2 == 0 or i == 5])
+    eval_lines = [r for r in caplog.records if r.msg.startswith("eval |")]
+    assert len(eval_lines) == cfg.epochs * evals_per_epoch
+
+    # per-fold held-out eval: each fold's TSV covers exactly its val rows,
+    # folds are disjoint, union is the whole dataset — no train-row leakage
+    from mpmc_tpu.io.tsv import read_prob_predictions
+    from mpmc_tpu.cv.kfold import stratified_kfold
+    splits = stratified_kfold(y, 2, cfg.data.fold_seed)
+    seen = set()
+    for k, (tr_idx, va_idx) in enumerate(splits):
+        tsv = f"{prefix}_probs_fold_{k}.tsv"
+        assert os.path.exists(tsv)
+        tsv_ids, _, _ = read_prob_predictions(tsv)
+        assert set(tsv_ids) == {all_ids[i] for i in va_idx}
+        assert set(tsv_ids).isdisjoint({all_ids[i] for i in tr_idx})
+        seen |= set(tsv_ids)
+        assert os.path.exists(f"{prefix}_val_fold_{k}.tsv")
+        assert results[k]["macro_f1"] > 0.6  # learnable held-out task
+    assert seen == set(all_ids)
+
+    # per-fold checkpoints restorable (same layout as the sequential driver)
+    from mpmc_tpu.train.checkpoint import Checkpointer
+    for k in range(2):
+        ck = Checkpointer(os.path.join(ckpt_dir, f"fold_{k}"))
+        assert ck.manager.latest_step() is not None
+        restored = ck.restore_latest(init_fold_state(k))
+        assert int(np.asarray(restored.step)) > 0

@@ -200,3 +200,27 @@ def test_run_folds_data_parallel_sharded(rng, tmp_path):
                      str(tmp_path), "task2X", folds=[0])
     assert len(res.fold_results) == 1
     assert res.fold_results[0].best_macro_f1 > 0.8
+
+
+def test_fit_resume_skips_completed_epochs(rng):
+    """A restored state whose step count already covers k epochs resumes at
+    epoch k instead of replaying everything from epoch 0 (ADVICE r2
+    medium: resumed runs silently re-trained at the schedule's decayed/zero
+    tail LR)."""
+    cfg = TrainConfig(data=DataConfig(batch_size=8), epochs=3)
+    train_step, eval_step = _stub_steps()
+    data = _data(rng, 64)  # 8 steps/epoch, 24 total
+
+    res = fit(_state(), train_step, eval_step, cfg, data)
+    assert int(res.state.step) == 24
+
+    # Restored after 2 full epochs: exactly one epoch (8 steps) remains.
+    st = dataclasses.replace(_state(), step=jnp.asarray(16, jnp.int32))
+    res2 = fit(st, train_step, eval_step, cfg, data)
+    assert int(res2.state.step) == 24
+
+    # Fully-complete state: trains zero steps (and warns, no crash).
+    st = dataclasses.replace(_state(), step=jnp.asarray(24, jnp.int32))
+    res3 = fit(st, train_step, eval_step, cfg, data)
+    assert int(res3.state.step) == 24
+    assert float(res3.state.params["w"]) == np.float32(0.1)  # untouched

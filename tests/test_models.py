@@ -217,3 +217,17 @@ def test_image_classifier_binary_head(rng):
     model = ImageClassifier(cfg, binary_head=True)
     variables = model.init(jax.random.key(0), img)
     assert model.apply(variables, img).shape == (2, 2)
+
+
+def test_efficientnet_zoo_b0_to_b4_accepted(rng):
+    """The CLI advertises efficientnet_b0..b4 (Untitled-2.py:362-371); the
+    factory must accept every one of them (VERDICT r2: b0-b2 raised)."""
+    import jax
+
+    img = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+    for variant in ("b0", "b1", "b2", "b3", "b4"):
+        net = create_image_backbone(
+            ImageEncoderConfig(arch=f"efficientnet_{variant}"))
+        variables = net.init(jax.random.key(0), img, train=False)
+        out = net.apply(variables, img, train=False)
+        assert out.ndim == 2 and out.shape[0] == 1

@@ -122,3 +122,39 @@ def test_native_tokenizer_lowercase_parity(tmp_path):
     np.testing.assert_array_equal(n_mask, p_mask)
     # sanity: lowering actually maps Ü→u etc. (not UNK floods)
     assert (n_ids == 1).mean() < 0.2
+
+
+def test_build_tokenizer_selects_native_backend(tmp_path):
+    """Driver-level wiring (VERDICT r2 #6): ``build_tokenizer`` returns the
+    C++ backend (through the npz-cached HybridWordPieceTokenizer) whenever
+    the lib is built — for corpus vocabs too — and its token ids over the
+    real dev corpus pin to the pure-Python oracle exactly."""
+    from mpmc_tpu.cli.experiments import build_tokenizer
+    from mpmc_tpu.io import read_manifest
+    from mpmc_tpu.text.normalize import preprocess_arabic_tweet
+    from mpmc_tpu.text.tokenizer import HybridWordPieceTokenizer
+    from mpmc_tpu.text.wordpiece import WordPieceTokenizer
+
+    texts = [preprocess_arabic_tweet(t)
+             for t in read_manifest(DEV).texts]
+    tok = build_tokenizer(texts, None, cache_dir=str(tmp_path))
+    assert isinstance(tok, HybridWordPieceTokenizer)
+    assert tok.backend_name == "native-c++"
+
+    py = WordPieceTokenizer(tok.vocab)
+    n_ids, n_mask = tok.encode_batch(texts, 64)
+    p_ids, p_mask = py.encode_batch(texts, 64)
+    np.testing.assert_array_equal(n_ids, p_ids)
+    np.testing.assert_array_equal(n_mask, p_mask)
+
+    # second call hits the npz cache (same result)
+    c_ids, c_mask = tok.encode_batch(texts, 64)
+    np.testing.assert_array_equal(c_ids, n_ids)
+
+    # vocab round-trips through save (predict-time persistence surface)
+    out = tmp_path / "v.txt"
+    tok.save(str(out))
+    reloaded = build_tokenizer(texts, str(out), cache_dir=str(tmp_path))
+    assert isinstance(reloaded, HybridWordPieceTokenizer)
+    r_ids, _ = reloaded.encode_batch(texts, 64)
+    np.testing.assert_array_equal(r_ids, n_ids)

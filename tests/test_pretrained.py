@@ -190,7 +190,13 @@ def test_cli_train_resume_restores_state(rng, tmp_path, monkeypatch):
     assert main(args) == 0
     step1 = Checkpointer(os.path.join(ckpt, "fold_0")).manager.latest_step()
     assert step1 and step1 > 0
-    # resumed run starts from step1, so its best-checkpoint step exceeds it
+    # Resuming with the SAME epoch budget is a no-op: the restored step
+    # already covers every epoch, so nothing retrains (ADVICE r2 medium —
+    # previously this replayed all epochs at the schedule's decayed LR).
     assert main(args + ["--resume"]) == 0
+    assert (Checkpointer(os.path.join(ckpt, "fold_0"))
+            .manager.latest_step() == step1)
+    # Extending the budget continues from the restored position.
+    assert main(args + ["--resume", "--epochs", "2"]) == 0
     step2 = Checkpointer(os.path.join(ckpt, "fold_0")).manager.latest_step()
     assert step2 > step1

@@ -124,3 +124,34 @@ def test_pad_to():
     x = np.ones((3, 2))
     assert pad_to(x, 5).shape == (5, 2)
     assert pad_to(x, 3) is x
+
+
+def test_constant_lr_schedule_no_decay():
+    """lr_schedule='constant' reproduces the reference 2A recipe
+    (textmodel_example_task2A.py:574-576, ``scheduler = None``): full-size
+    updates even past total_steps, where linear_warmup decays to zero."""
+    import jax.numpy as jnp
+
+    from mpmc_tpu.config import TrainConfig
+    from mpmc_tpu.train.step import make_optimizer
+
+    params = {"w": jnp.ones(3)}
+    g = {"w": jnp.ones(3)}
+
+    def last_update(cfg):
+        tx = make_optimizer(cfg, total_steps=10)
+        state = tx.init(params)
+        for _ in range(15):  # run past total_steps
+            upd, state = tx.update(g, state, params)
+        return float(jnp.abs(upd["w"]).max())
+
+    const = last_update(TrainConfig(lr_schedule="constant",
+                                    learning_rate=1e-3))
+    decayed = last_update(TrainConfig(lr_schedule="linear_warmup",
+                                      learning_rate=1e-3))
+    assert const > 1e-4          # still stepping at full LR
+    assert decayed < 1e-6        # schedule has decayed to zero
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        make_optimizer(TrainConfig(lr_schedule="cosine"), total_steps=10)
