@@ -35,16 +35,24 @@ class BatchTokenizer:
 
     def __init__(self, backend, max_length: int,
                  normalizer: Optional[Callable[[str], str]] = None,
-                 cache_dir: Optional[str] = None):
+                 cache_dir: Optional[str] = None,
+                 cache_salt: str = ""):
         self.backend = backend
         self.max_length = max_length
         self.normalizer = normalizer
         self.cache_dir = cache_dir
+        # MUST identify the vocab: the same text corpus tokenized under two
+        # different vocabs yields different ids, and a salt-less cache
+        # silently serves one vocab's ids to the other — out-of-range ids
+        # that turn the whole downstream model non-finite (found the hard
+        # way: a 2A-vocab cache entry poisoned a 2C run's MLM stage).
+        self.cache_salt = cache_salt
 
     def _cache_key(self, texts: Sequence[str]) -> str:
         h = hashlib.sha256()
         h.update(str(self.max_length).encode())
         h.update(type(self.backend).__name__.encode())
+        h.update(self.cache_salt.encode())
         if self.normalizer is not None:
             h.update(getattr(self.normalizer, "__name__", "norm").encode())
         for t in texts:
@@ -91,6 +99,12 @@ class HybridWordPieceTokenizer:
         self._native = NativeWordPieceTokenizer(
             vocab_path, do_lower_case=do_lower_case)
         self._cache_dir = cache_dir
+        # Vocab fingerprint for the npz cache key (see BatchTokenizer
+        # cache_salt): entries from a different vocab must never be served.
+        self._vocab_sig = hashlib.sha256(
+            "\n".join(f"{t}\t{i}" for t, i in sorted(vocab.items(),
+                                                     key=lambda kv: kv[1])
+                      ).encode("utf-8")).hexdigest()[:16]
         self.backend_name = "native-c++"
 
     @property
@@ -106,6 +120,7 @@ class HybridWordPieceTokenizer:
 
     def encode_batch(self, texts: Sequence[str], max_length: int):
         bt = BatchTokenizer(self._native, max_length,
-                            cache_dir=self._cache_dir)
+                            cache_dir=self._cache_dir,
+                            cache_salt=self._vocab_sig)
         out = bt(list(texts))
         return out.ids, out.mask

@@ -158,3 +158,25 @@ def test_build_tokenizer_selects_native_backend(tmp_path):
     assert isinstance(reloaded, HybridWordPieceTokenizer)
     r_ids, _ = reloaded.encode_batch(texts, 64)
     np.testing.assert_array_equal(r_ids, n_ids)
+
+
+def test_tokenizer_cache_is_vocab_keyed(tmp_path):
+    """Regression: the npz tokenization cache must key on the VOCAB, not
+    just the texts — the same corpus tokenized under two different vocabs
+    yields different ids, and serving one vocab's cache entry to the other
+    produces out-of-range ids that silently NaN the downstream model."""
+    from mpmc_tpu.cli.experiments import build_tokenizer
+
+    texts_a = ["alpha beta gamma", "delta epsilon"]
+    texts_b = ["zeta eta theta iota", "kappa lambda mu nu", "alpha beta"]
+    shared = ["alpha beta zeta kappa"] * 3
+    cache = str(tmp_path)
+    tok_a = build_tokenizer(texts_a, None, cache_dir=cache)
+    tok_b = build_tokenizer(texts_b, None, cache_dir=cache)
+    assert tok_a.vocab != tok_b.vocab
+    ids_a, _ = tok_a.encode_batch(shared, 8)   # populates the cache
+    ids_b, _ = tok_b.encode_batch(shared, 8)   # MUST NOT hit tok_a's entry
+    ref_b, _ = __import__("mpmc_tpu.text.wordpiece", fromlist=["x"]) \
+        .WordPieceTokenizer(tok_b.vocab).encode_batch(shared, 8)
+    np.testing.assert_array_equal(ids_b, ref_b)
+    assert not np.array_equal(ids_a, ids_b)
