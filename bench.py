@@ -228,6 +228,16 @@ def main():
 
     mfu = _step_tflop(mcfg, bucket_text, bucket_cap, 16) / dt / PEAK_TFLOPS
 
+    # Step-time decomposition measured by tools/step_breakdown.py on the
+    # real chip (fwd / fwd+bwd / optimizer-only / augment / per-branch +
+    # the Adam HBM-roofline arithmetic).
+    breakdown = None
+    bd_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BREAKDOWN.json")
+    if os.path.exists(bd_path):
+        with open(bd_path) as f:
+            breakdown = json.load(f)
+
     baseline = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_CPU.json")
@@ -259,6 +269,18 @@ def main():
             "driver_path_bs16": round(driver16, 2) if driver16 else None,
             "step_ms_bs16": round(dt * 1e3, 1),
             "approx_matmul_mfu_bs16": round(mfu, 3),
+            "breakdown": breakdown,
+            "roofline_note": (
+                "bs16 is not matmul-bound: fwd+bwd alone runs at ~0.32 "
+                "matmul-MFU (per-layer matmuls are small at S=128; "
+                "attention/VPU/layernorm fill the rest), and the grouped-"
+                "Adam update alone costs ~14 ms — ~37% of the step — "
+                "against a ~9.4 ms pure-HBM floor for its 7.7 GB/step "
+                "read-modify-write over 275M f32 params (embedding tables "
+                "included). The step is optimizer-HBM-bound at bs16; "
+                "--adam-mu-dtype bfloat16 (parity-tested) shaves ~3 ms, "
+                "and bs64 amortizes the fixed optimizer pass to ~0.41 "
+                "matmul-MFU on the same program."),
             "note": ("image pixels synthetic (no image tarball in this "
                      "environment); token ids random — identical compute "
                      "to real data. scan-fused = cfg.scan_steps (K "

@@ -155,3 +155,55 @@ def test_constant_lr_schedule_no_decay():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         make_optimizer(TrainConfig(lr_schedule="cosine"), total_steps=10)
+
+
+def test_adam_mu_bf16_training_parity(rng):
+    """bf16 first-moment Adam (--adam-mu-dtype bfloat16) is a safe
+    throughput lever: on a real small training problem the loss trajectory
+    tracks f32-mu closely and both reach the same solution quality
+    (BREAKDOWN.json: the f32 mu read-modify-write is part of the
+    optimizer-HBM-bound 14 ms/step at bs16)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mpmc_tpu.config import TrainConfig
+    from mpmc_tpu.train.step import make_optimizer
+
+    # 2-class logistic regression on separable-ish features
+    n, d = 256, 16
+    y = (rng.random(n) > 0.5).astype(np.int32)
+    x = (rng.standard_normal((n, d)) + y[:, None] * 1.0).astype(np.float32)
+
+    def losses_for(mu_dtype):
+        cfg = TrainConfig(learning_rate=5e-2, adam_mu_dtype=mu_dtype,
+                          lr_schedule="constant", grad_clip_norm=1.0)
+        tx = make_optimizer(cfg, total_steps=100)
+        params = {"w": jnp.zeros((d, 2)), "b": jnp.zeros((2,))}
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, opt):
+            def loss_fn(p):
+                logits = x @ p["w"] + p["b"]
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, y).mean()
+
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            upd, opt2 = tx.update(g, opt, params)
+            return optax.apply_updates(params, upd), opt2, loss
+
+        out = []
+        for _ in range(100):
+            params, opt, loss = step(params, opt)
+            out.append(float(loss))
+        return np.asarray(out)
+
+    f32 = losses_for(None)
+    bf16 = losses_for("bfloat16")
+    assert f32[-1] < 0.45 and bf16[-1] < 0.45          # both converge
+    np.testing.assert_allclose(bf16[-1], f32[-1], atol=0.02)
+    # trajectories track closely throughout
+    assert np.max(np.abs(bf16 - f32)) < 0.05
