@@ -222,6 +222,7 @@ def make_scratch_caption_fn(corpus_texts: Sequence[str], *,
                              jnp.asarray(pids)))
         return [decode(row) for row in out]
 
+    generate_fn.cache_tag = f"scratch-captioner-{seed}-{image_size}"
     return generate_fn, tok
 
 
@@ -235,14 +236,27 @@ def precompute_captions(img_paths: Sequence[str], images_u8: np.ndarray,
                         batch_size: int = 64,
                         generate_fn: Optional[Callable] = None,
                         vocab=None) -> List[str]:
-    """Caption every image once, with a JSON disk cache keyed by path
-    (reference batches of 64, ``Multimodal_example_task2C.py:241-256``)."""
+    """Caption every image once, with a JSON disk cache keyed by path AND
+    the caption generator's identity (reference batches of 64,
+    ``Multimodal_example_task2C.py:241-256``).
+
+    The generator tag in the cache key matters: a placeholder-caption run
+    and a real-captioner run over the same image paths must not share
+    cache entries (set ``generate_fn.cache_tag`` for a custom stable tag).
+    """
+    if generate_fn is not None:
+        gen_tag = getattr(generate_fn, "cache_tag",
+                          getattr(generate_fn, "__name__", "generate_fn"))
+    elif captioner is not None:
+        gen_tag = f"captioner-{captioner.vocab_size}"
+    else:
+        gen_tag = "placeholder"
     cache_path = None
     cache = {}
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
-        key = hashlib.sha256(("\n".join(img_paths) + prompt).encode()
-                             ).hexdigest()[:16]
+        key = hashlib.sha256(("\n".join(img_paths) + prompt + "\x00"
+                              + gen_tag).encode()).hexdigest()[:16]
         cache_path = os.path.join(cache_dir, f"captions_{key}.json")
         if os.path.exists(cache_path):
             with open(cache_path) as f:

@@ -153,3 +153,26 @@ def test_scratch_captioner_generates_words(tmp_path):
     again = precompute_captions(paths, imgs, cache_dir=str(tmp_path),
                                 generate_fn=gen_fn)
     assert again == caps
+
+
+def test_caption_cache_keys_on_generator(tmp_path):
+    """A placeholder run and a generate_fn run over the SAME image paths
+    must not share caption-cache entries (generator identity is part of
+    the cache key)."""
+    from mpmc_tpu.models.captioner import precompute_captions
+
+    imgs = np.zeros((2, 8, 8, 3), np.uint8)
+    paths = ["d/a.png", "d/b.png"]
+    placeholder = precompute_captions(paths, imgs, cache_dir=str(tmp_path))
+
+    def gen(images_u8):
+        return ["real words here"] * len(images_u8)
+
+    gen.cache_tag = "test-gen"
+    real = precompute_captions(paths, imgs, cache_dir=str(tmp_path),
+                               generate_fn=gen)
+    assert real == ["real words here"] * 2
+    assert placeholder != real
+    # and each path reloads from its own entry
+    again = precompute_captions(paths, imgs, cache_dir=str(tmp_path))
+    assert again == placeholder
