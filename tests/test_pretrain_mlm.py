@@ -49,9 +49,11 @@ def test_mlm_loss_decreases_and_splices(corpus_tok, tmp_path):
     ids, mask = tok.encode_batch(texts, 24)
     enc, losses = mlm_pretrain(
         cfg, ids, mask, tok,
-        MLMConfig(epochs=12, batch_size=16, learning_rate=1e-3,
+        MLMConfig(epochs=30, batch_size=16, learning_rate=2e-3,
                   scan_steps=2, char_noise_copies=0))
-    assert losses[-1] < losses[0] * 0.9        # actually learns
+    # actually learns (ratio ~0.74 on TPU; margin for CPU-backend numerics,
+    # where the 12-epoch/1e-3 recipe landed at 0.925 and flaked)
+    assert losses[-1] < losses[0] * 0.85
     assert "word_embeddings" in enc and "layer_0" in enc
 
     # npz round-trip is exact
