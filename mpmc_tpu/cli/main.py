@@ -133,10 +133,12 @@ def _cmd_train(args):
     cfg = TrainConfig(model=model, data=data, mesh=mesh, epochs=args.epochs,
                       learning_rate=args.lr,
                       lr_schedule=lr_schedule,
+                      seed=args.seed,
                       checkpoint_dir=args.checkpoint_dir,
                       resume=args.resume,
                       scan_steps=args.scan_steps,
                       adam_mu_dtype=args.adam_mu_dtype,
+                      embedding_optimizer=args.embedding_optimizer,
                       profile_dir=args.profile_dir,
                       mlm_epochs=args.mlm_epochs)
     pretrained = PretrainedSpec(text=args.text_params,
@@ -516,6 +518,11 @@ def main(argv=None):
     p.add_argument("--fold", type=int, default=None)
     p.add_argument("--num-folds", type=int, default=5)
     p.add_argument("--epochs", type=int, default=8)
+    p.add_argument("--seed", type=int, default=42,
+                   help="init/shuffle/MLM seed (fold splits keep their own "
+                        "fold_seed=42, so multi-seed runs train diverse "
+                        "models over identical folds — average their prob "
+                        "TSVs with `combine` for a wider ensemble)")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--lr-schedule", default=None,
@@ -572,6 +579,13 @@ def main(argv=None):
                    choices=[None, "bfloat16", "float32"],
                    help="Adam first-moment dtype (bfloat16 halves its HBM "
                         "traffic; default f32 = torch parity)")
+    p.add_argument("--embedding-optimizer", default="adam",
+                   choices=["adam", "factored"],
+                   help="optimizer for the [vocab, hidden] word-embedding "
+                        "tables: 'factored' = momentum-free factored-RMS "
+                        "(Adafactor accumulator) — drops their optimizer "
+                        "state from 2x[V,H] to [V]+[H], a big HBM saving "
+                        "on the optimizer-bound step (not torch parity)")
     p.add_argument("--mlm-epochs", type=int, default=0,
                    help=">0 runs corpus MLM pretraining (char-noise "
                         "augmented, train/pretrain.py) and initializes the "

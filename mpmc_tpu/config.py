@@ -353,6 +353,16 @@ class TrainConfig:
     # environments (the reference's quality comes from downloaded QARiB/
     # AraBERT weights, textmodel_example_task2A.py:41-44).
     mlm_epochs: int = 0
+    # Optimizer family for the big [vocab, hidden] word-embedding tables
+    # (~45% of flagship params, and their gradient support per step is a
+    # few thousand rows at most).  "adam" (default) keeps exact torch-Adam
+    # semantics; "factored" swaps the tables' optimizer for momentum-free
+    # factored-second-moment RMS (optax.scale_by_factored_rms — the
+    # Adafactor accumulator): per-table state drops from 2×[V,H] f32 to
+    # [V]+[H], cutting the optimizer pass's HBM read-modify-write traffic
+    # on an HBM-bound step (see BREAKDOWN.json roofline).  All other
+    # params stay on Adam.  Not bit-parity with the reference — opt-in.
+    embedding_optimizer: str = "adam"
     # Dispatch amortization: fuse this many optimizer steps into ONE jitted
     # lax.scan dispatch (train/step.make_scan_train_step).  Over a remote
     # TPU link each executable launch costs a host round-trip; scanning K

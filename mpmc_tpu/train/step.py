@@ -82,13 +82,31 @@ def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransfor
         raise ValueError(f"unknown lr_schedule: {cfg.lr_schedule!r} "
                          "(expected 'linear_warmup' or 'constant')")
     mu_dtype = cfg.adam_mu_dtype  # e.g. "bfloat16" halves mu HBM traffic
+    transforms = {"head": optax.adam(head_sched, mu_dtype=mu_dtype),
+                  "encoder": optax.adam(enc_sched, mu_dtype=mu_dtype)}
+    factored_embed = cfg.embedding_optimizer == "factored"
+    if factored_embed:
+        # The word-embedding tables get momentum-free factored-RMS: the
+        # Adafactor second-moment accumulator ([V]+[H] row/col factors
+        # instead of a [V,H] nu, and no mu at all), at the encoder-group
+        # schedule.  On the HBM-bound bs16 step this removes ~2 of the 7
+        # f32 array passes over ~45% of the parameter mass.
+        transforms["embed"] = optax.chain(
+            optax.scale_by_factored_rms(),
+            optax.scale_by_learning_rate(enc_sched))
+
+    def _label(path):
+        joined = "/".join(str(getattr(k, "key", k)) for k in path)
+        if factored_embed and "word_embeddings" in joined:
+            return "embed"
+        return _param_group(path)
+
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip_norm),
         optax.multi_transform(
-            {"head": optax.adam(head_sched, mu_dtype=mu_dtype),
-             "encoder": optax.adam(enc_sched, mu_dtype=mu_dtype)},
+            transforms,
             lambda params: jax.tree_util.tree_map_with_path(
-                lambda path, _: _param_group(path), params)),
+                lambda path, _: _label(path), params)),
     )
 
 

@@ -207,3 +207,72 @@ def test_adam_mu_bf16_training_parity(rng):
     np.testing.assert_allclose(bf16[-1], f32[-1], atol=0.02)
     # trajectories track closely throughout
     assert np.max(np.abs(bf16 - f32)) < 0.05
+
+
+def test_factored_embedding_optimizer(rng):
+    """embedding_optimizer='factored' puts the [V,H] word-embedding tables
+    on momentum-free factored-RMS (the Adafactor accumulator): their
+    optimizer state shrinks from two [V,H] f32 arrays to [V]+[H] factors,
+    every other parameter keeps Adam, and a small embedding-classification
+    problem still converges (the HBM lever behind --embedding-optimizer;
+    see BREAKDOWN.json's optimizer-bound roofline)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    # optax only factors when the second-largest dim is >= 128 (real vocab
+    # tables are 64000x768); keep the test table above that threshold.
+    V, H = 256, 128
+    init = np.random.default_rng(0)
+    params = {
+        "text_model": {
+            "word_embeddings": {"embedding": jnp.asarray(
+                init.standard_normal((V, H)) * 0.1, jnp.float32)},
+            "layer_0": {"w": jnp.asarray(
+                init.standard_normal((H, H)) / np.sqrt(H), jnp.float32)},
+        },
+        "output_fc": {"kernel": jnp.asarray(
+            init.standard_normal((H, 2)) * 0.1, jnp.float32)},
+    }
+
+    def table_state_leaves(cfg):
+        tx = make_optimizer(cfg, total_steps=100)
+        state = tx.init(params)
+        return tx, state, [x for x in jax.tree_util.tree_leaves(state)
+                           if hasattr(x, "shape") and x.shape == (V, H)]
+
+    # default adam: mu + nu per table -> two [V,H] state arrays
+    _, _, dense = table_state_leaves(
+        TrainConfig(learning_rate=1e-2, lr_schedule="constant"))
+    assert len(dense) == 2
+    # factored: no [V,H] state at all
+    cfg = TrainConfig(learning_rate=1e-2, lr_schedule="constant",
+                      embedding_optimizer="factored", grad_clip_norm=1e9)
+    tx, state, fact = table_state_leaves(cfg)
+    assert len(fact) == 0
+
+    # updates flow to the table and it still trains: embedding-bag classifier
+    n, s = 256, 6
+    ids = rng.integers(0, V, (n, s)).astype(np.int32)
+    y = (ids.max(axis=1) > V // 2).astype(np.int32)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            emb = p["text_model"]["word_embeddings"]["embedding"][ids]
+            feats = jnp.tanh(emb.mean(axis=1) @ p["text_model"]["layer_0"]["w"])
+            logits = feats @ p["output_fc"]["kernel"]
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        upd, opt2 = tx.update(g, opt, params)
+        return optax.apply_updates(params, upd), opt2, loss
+
+    opt = state
+    losses = []
+    for _ in range(120):
+        params, opt, loss = step(params, opt)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5
+    assert float(jnp.abs(
+        params["text_model"]["word_embeddings"]["embedding"]).sum()) > 0
