@@ -487,6 +487,29 @@ def _maybe_mlm_pretrain(cfg: TrainConfig, mcfg, tok, corpus_texts,
             if pretrained else PretrainedSpec(text=mlm_path))
 
 
+def _maybe_simclr_pretrain(cfg: TrainConfig, mcfg, images_u8, out_dir: str,
+                           pretrained):
+    """Run the SimCLR image-SSL stage (``cfg.simclr_epochs``) over the
+    train-split pixels and fold the backbone npz into the pretrained spec —
+    unless an external image checkpoint already covers it.  The image-branch
+    counterpart of ``_maybe_mlm_pretrain`` (train/pretrain_image.py)."""
+    if (cfg.simclr_epochs <= 0
+            or (pretrained is not None and pretrained.image)):
+        return pretrained
+    from mpmc_tpu.models.pretrained import PretrainedSpec
+    from mpmc_tpu.train.pretrain_image import (SimCLRConfig,
+                                               pretrain_and_save_image)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "simclr_backbone.npz")
+    pretrain_and_save_image(
+        mcfg.image, images_u8, path,
+        SimCLRConfig(epochs=cfg.simclr_epochs, seed=cfg.seed,
+                     batch_size=min(cfg.data.batch_size * 4,
+                                    len(images_u8))))
+    return (dataclasses.replace(pretrained, image=path)
+            if pretrained else PretrainedSpec(image=path))
+
+
 def _persist_run_meta(cfg: TrainConfig, mcfg, kind: str, out_dir: str,
                       data: Dict[str, np.ndarray], *, augment: bool,
                       grayscale: bool = False,
@@ -583,6 +606,7 @@ def run_subtask_2b(cfg: TrainConfig, out_dir: str = "outputs/2b",
     # augmentation (ResNet_example_task2B.py:156-167); color 2B gets the
     # full train-augment chain.  Both normalize in-step from uint8.
     gray = mcfg.image.grayscale
+    pretrained = _maybe_simclr_pretrain(cfg, mcfg, imgs, out_dir, pretrained)
     _persist_run_meta(cfg, mcfg, "image", out_dir, data, augment=True,
                       grayscale=gray, eval_transform_only=gray,
                       binary_head=binary_head)
@@ -703,6 +727,11 @@ def run_subtask_2c(cfg: TrainConfig, out_dir: str = "outputs/2c",
         cfg, mcfg, tok,
         [preprocess_arabic_tweet(t) for t in (train.texts + dev.texts)],
         data["text_ids"].shape[1], out_dir, pretrained)
+    if not simple:
+        # (--simple keeps resnet50's 1000-logit classifier head, which the
+        # headless SimCLR backbone cannot splice into)
+        pretrained = _maybe_simclr_pretrain(cfg, mcfg, imgs["train"],
+                                            out_dir, pretrained)
     if simple:
         _persist_run_meta(cfg, mcfg, "simple", out_dir, data, augment=True,
                           eval_transform_only=True)

@@ -140,7 +140,8 @@ def _cmd_train(args):
                       adam_mu_dtype=args.adam_mu_dtype,
                       embedding_optimizer=args.embedding_optimizer,
                       profile_dir=args.profile_dir,
-                      mlm_epochs=args.mlm_epochs)
+                      mlm_epochs=args.mlm_epochs,
+                      simclr_epochs=args.simclr_epochs)
     pretrained = PretrainedSpec(text=args.text_params,
                                 caption=args.caption_params,
                                 image=args.image_params)
@@ -591,6 +592,12 @@ def main(argv=None):
                         "augmented, train/pretrain.py) and initializes the "
                         "text encoder from it — the no-external-weights "
                         "quality lever (ignored when --text-params is set)")
+    p.add_argument("--simclr-epochs", type=int, default=0,
+                   help=">0 runs SimCLR contrastive pretraining over the "
+                        "train-split pixels (train/pretrain_image.py) and "
+                        "initializes the 2B/2C image backbone from it "
+                        "(ignored when --image-params is set; needs real "
+                        "image files)")
     p.add_argument("--scratch-captioner", action="store_true",
                    help="2C: generate captions with the from-scratch "
                         "ImageCaptioner (real pixels → decoded words) "

@@ -353,6 +353,13 @@ class TrainConfig:
     # environments (the reference's quality comes from downloaded QARiB/
     # AraBERT weights, textmodel_example_task2A.py:41-44).
     mlm_epochs: int = 0
+    # SimCLR image-SSL pretraining (train/pretrain_image.py): when > 0 and
+    # no external image checkpoint is given, the 2B/2C drivers first run
+    # this many epochs of contrastive pretraining over the train-split
+    # pixels (two on-device-augmented views, NT-Xent) and initialize the
+    # image backbone from it — the image-branch counterpart of mlm_epochs
+    # (meaningful only when real image files exist on disk).
+    simclr_epochs: int = 0
     # Optimizer family for the big [vocab, hidden] word-embedding tables
     # (~45% of flagship params, and their gradient support per step is a
     # few thousand rows at most).  "adam" (default) keeps exact torch-Adam

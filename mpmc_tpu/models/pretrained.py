@@ -121,6 +121,26 @@ def _convert_text(path: str, text_cfg, dst: Dict) -> Dict:
     return conv
 
 
+def _convert_image(path: str, arch: str, num_classes: int = 0) -> Dict:
+    """Convert an image-backbone checkpoint to ``{"params": tree,
+    "batch_stats": tree}``.
+
+    Flax-tree npz files written by
+    ``train.pretrain_image.save_image_encoder_params`` (SimCLR corpus
+    pretraining) are recognized by their marker entry and spliced directly;
+    anything else goes through the torch-layout vision converter."""
+    from mpmc_tpu.models.vision_convert import convert_image_state_dict
+    sd = load_state_dict(path)
+    if "__flax_image_encoder__" in sd:
+        from mpmc_tpu.train.pretrain import unflatten_params
+        tree = unflatten_params(
+            {k: v for k, v in sd.items() if k != "__flax_image_encoder__"})
+        return {"params": tree.get("params", {}),
+                "batch_stats": tree.get("batch_stats", {})}
+    kw = {"num_classes": num_classes} if num_classes else {}
+    return convert_image_state_dict(sd, arch, **kw)
+
+
 def apply_pretrained(variables: Dict, mcfg: ModelConfig, kind: str,
                      spec: Optional[PretrainedSpec]) -> Dict:
     """Splice the converted checkpoints of ``spec`` into ``variables``.
@@ -130,7 +150,6 @@ def apply_pretrained(variables: Dict, mcfg: ModelConfig, kind: str,
     """
     if not spec:
         return variables
-    from mpmc_tpu.models.vision_convert import convert_image_state_dict
 
     if kind == "text":
         if spec.image or spec.caption:
@@ -146,8 +165,7 @@ def apply_pretrained(variables: Dict, mcfg: ModelConfig, kind: str,
         if spec.text or spec.caption:
             raise ValueError("image model takes only spec.image")
         if spec.image:
-            conv = convert_image_state_dict(load_state_dict(spec.image),
-                                            mcfg.image.arch)
+            conv = _convert_image(spec.image, mcfg.image.arch)
             variables = _splice(variables, "params", ("backbone",),
                                 conv["params"])
             if conv["batch_stats"]:
@@ -168,9 +186,8 @@ def apply_pretrained(variables: Dict, mcfg: ModelConfig, kind: str,
             bb = variables["params"]["backbone"]
             n_cls = (bb["classifier"]["bias"].shape[0]
                      if "classifier" in bb else 0)
-            conv = convert_image_state_dict(load_state_dict(spec.image),
-                                            mcfg.image.arch,
-                                            num_classes=n_cls)
+            conv = _convert_image(spec.image, mcfg.image.arch,
+                                  num_classes=n_cls)
             variables = _splice(variables, "params", ("backbone",),
                                 conv["params"])
             if conv["batch_stats"]:
@@ -190,8 +207,7 @@ def apply_pretrained(variables: Dict, mcfg: ModelConfig, kind: str,
                 _convert_text(spec.caption, mcfg.caption,
                               variables["params"]["caption_text_model"]))
         if spec.image:
-            conv = convert_image_state_dict(load_state_dict(spec.image),
-                                            mcfg.image.arch)
+            conv = _convert_image(spec.image, mcfg.image.arch)
             variables = _splice(variables, "params",
                                 ("image_model", "backbone"), conv["params"])
             if conv["batch_stats"]:
