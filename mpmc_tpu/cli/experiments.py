@@ -289,7 +289,7 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
                ) -> SubtaskResult:
     from mpmc_tpu.train.loop import fit
     os.makedirs(out_dir, exist_ok=True)
-    if cfg.mesh.num_fold_shards > 1:
+    if cfg.mesh.is_fold_parallel:
         return _run_folds_parallel(cfg, model_factory, kind, full_data, ids,
                                    test_data, test_ids, out_dir, name,
                                    augment=augment, grayscale=grayscale,
@@ -394,8 +394,11 @@ def _run_folds_parallel(cfg: TrainConfig, model_factory, kind: str,
                         augment: bool = False, grayscale: bool = False,
                         pretrained=None,
                         eval_transform_only: bool = False) -> SubtaskResult:
-    """All folds as one SPMD program over a (fold, data) mesh
-    (``cfg.mesh.num_fold_shards == cfg.data.num_folds``)."""
+    """All folds as one SPMD program over a (fold, data) mesh.
+
+    The stacked fold axis (size ``cfg.data.num_folds``) shards over the
+    mesh's fold dimension (``cfg.mesh.num_fold_shards``, which must divide
+    it — 1 keeps every fold on each device, the single-chip MFU lever)."""
     import jax
     from mpmc_tpu.cv.fold_driver import fit_folds_parallel
     from mpmc_tpu.models.pretrained import apply_pretrained
@@ -403,9 +406,11 @@ def _run_folds_parallel(cfg: TrainConfig, model_factory, kind: str,
     from mpmc_tpu.train.step import (build_train_step_fn, create_train_state,
                                      make_eval_step, make_optimizer)
 
-    if cfg.mesh.num_fold_shards != cfg.data.num_folds:
-        raise ValueError("mesh.num_fold_shards must equal data.num_folds "
-                         "for fold-parallel training")
+    if cfg.data.num_folds % max(cfg.mesh.num_fold_shards, 1):
+        raise ValueError(
+            "mesh.num_fold_shards must divide data.num_folds for "
+            "fold-parallel training (the stacked fold axis shards over the "
+            "mesh's fold dimension; 1 trains all folds on each device)")
     n = len(full_data["label"])
     bs = cfg.data.batch_size
     total_steps = ((n + bs - 1) // bs) * cfg.epochs

@@ -123,7 +123,8 @@ def _cmd_train(args):
             image_size=args.image_size or img.image_size)
         model = dataclasses.replace(model, image=img)
     mesh = MeshConfig(num_fold_shards=args.fold_shards,
-                      num_data_shards=args.data_shards)
+                      num_data_shards=args.data_shards,
+                      fold_parallel=args.fold_parallel)
     # C21 hyperparameter fidelity: the 2A flagship trains with
     # ``scheduler = None`` (textmodel_example_task2A.py:574-576), so 2A
     # defaults to a constant LR; 2B/2C keep the warmup+linear-decay schedule
@@ -605,8 +606,15 @@ def main(argv=None):
     p.add_argument("--data-shards", type=int, default=1,
                    help=">1 shards each batch over a `data` mesh axis (DP)")
     p.add_argument("--fold-shards", type=int, default=1,
-                   help=">1 trains all folds simultaneously (fold-parallel "
-                        "SPMD; must equal --num-folds)")
+                   help=">1 trains all folds simultaneously, sharding the "
+                        "stacked fold axis over this many devices (must "
+                        "divide --num-folds)")
+    p.add_argument("--fold-parallel", action="store_true",
+                   help="train all folds as ONE stacked-weights SPMD "
+                        "program even on a single chip (--fold-shards 1): "
+                        "per-layer matmuls carry an F-times-larger "
+                        "effective batch, amortizing the optimizer pass "
+                        "and dispatch overheads across folds")
     p.set_defaults(fn=_cmd_train)
 
     p = sub.add_parser("predict")

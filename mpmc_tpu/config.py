@@ -291,15 +291,27 @@ class MeshConfig:
 
     data_axis: str = "data"
     fold_axis: str = "fold"
-    num_fold_shards: int = 1          # >1 enables fold-parallel training
+    num_fold_shards: int = 1          # mesh extent of the fold axis
     # >1 shards each batch over `data` for plain data-parallel training in
     # the sequential fold driver (params replicated, gradients psum'd by
-    # XLA's SPMD partitioner).  Ignored when num_fold_shards > 1 (the fold-
-    # parallel mesh derives its data extent from the device count).
+    # XLA's SPMD partitioner).  Ignored when fold-parallel is active (that
+    # mesh derives its data extent from the device count).
     num_data_shards: int = 1
+    # Train all k folds simultaneously as one stacked-weights SPMD program
+    # even when the fold mesh axis is smaller than k (num_fold_shards must
+    # divide num_folds; 1 puts every fold on each device).  On a SINGLE
+    # chip this is a pure MFU lever: the per-layer matmuls carry an
+    # F-times-larger effective batch through the same program, amortizing
+    # the optimizer pass and dispatch overheads across folds.
+    # ``num_fold_shards > 1`` implies it.
+    fold_parallel: bool = False
+
+    @property
+    def is_fold_parallel(self) -> bool:
+        return self.fold_parallel or self.num_fold_shards > 1
 
     def axis_names(self) -> Tuple[str, ...]:
-        if self.num_fold_shards > 1:
+        if self.is_fold_parallel:
             return (self.fold_axis, self.data_axis)
         return (self.data_axis,)
 

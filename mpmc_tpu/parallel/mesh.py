@@ -29,7 +29,7 @@ def make_mesh(cfg: Optional[MeshConfig] = None,
     cfg = cfg or MeshConfig()
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    if cfg.num_fold_shards > 1:
+    if cfg.is_fold_parallel:
         if n % cfg.num_fold_shards:
             raise ValueError(
                 f"{n} devices not divisible by {cfg.num_fold_shards} folds")

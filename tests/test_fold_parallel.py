@@ -200,3 +200,55 @@ def test_fold_parallel_reference_semantics(rng, tmp_path, caplog):
         assert ck.manager.latest_step() is not None
         restored = ck.restore_latest(init_fold_state(k))
         assert int(np.asarray(restored.step)) > 0
+
+
+def test_fold_parallel_single_chip_mesh(rng, tmp_path):
+    """MeshConfig(fold_parallel=True, num_fold_shards=1): all folds stack
+    on EVERY device (the single-chip MFU lever) — the fold axis (here 3,
+    which doesn't divide the 8-device mesh) stays whole, and training
+    matches the sharded variant's semantics."""
+    mcfg = dataclasses.replace(ModelConfig.tiny_2c(), num_classes=2,
+                               pooling=PoolingType.CLS)
+    cfg = TrainConfig(model=mcfg,
+                      data=DataConfig(batch_size=8, num_folds=3,
+                                      device_resident=True),
+                      mesh=MeshConfig(fold_parallel=True),
+                      epochs=3, learning_rate=2e-3, scan_steps=2,
+                      loss=LossType.CROSS_ENTROPY)
+    assert cfg.mesh.is_fold_parallel
+
+    n = 64
+    y = (rng.random(n) > 0.5).astype(np.int32)
+    ids = rng.integers(5, mcfg.text.vocab_size, (n, 16)).astype(np.int32)
+    ids[:, 0] = y * 3 + 1
+    data = {"text_ids": ids, "text_mask": np.ones_like(ids), "label": y}
+
+    model = TextClassifier(mcfg)
+    apply_fn = make_apply_fn(model, "text")
+    tx = make_optimizer(cfg, total_steps=cfg.epochs * 8)
+
+    def init_fold_state(k):
+        variables = model.init(jax.random.key(k), data["text_ids"][:2],
+                               data["text_mask"][:2])
+        return create_train_state(variables, tx)[0]
+
+    step_fn = build_train_step_fn(apply_fn, cfg, tx)
+    eval_raw = make_eval_step(apply_fn, cfg)
+
+    mesh = make_mesh(cfg.mesh)
+    assert dict(mesh.shape) == {"fold": 1, "data": 8}
+    test_ids = [f"data/x/img_{i}.jpg" for i in range(n)]
+    prefix = str(tmp_path / "task2A_fp1")
+    results = fit_folds_parallel(cfg, init_fold_state, step_fn,
+                                 lambda s, b: eval_raw(s, b),
+                                 data, data, test_ids, mesh,
+                                 tsv_prefix=prefix)
+    assert len(results) == 3
+    for r in results:
+        assert r["macro_f1"] > 0.8
+    import os
+    assert os.path.exists(f"{prefix}_probs_fold_2.tsv")
+
+    # invalid fold-shard factorings fail loudly
+    with pytest.raises(ValueError):
+        make_mesh(MeshConfig(num_fold_shards=3))  # 8 devices % 3 != 0

@@ -243,6 +243,31 @@ def main():
     t16, _ = timed_scan(full16_body, jax.device_put(st16), keys)
     results["full_step_bf16_mu_ms"] = t16 * 1e3
 
+    # ---- lever: factored-RMS embedding tables (+ bf16 mu) ----
+    # --embedding-optimizer factored: the [V,H] word-embedding tables move
+    # to momentum-free factored-second-moment RMS ([V]+[H] state), removing
+    # their mu/nu read-modify-write from the optimizer pass entirely.
+    txf = make_optimizer(
+        dataclasses.replace(cfg, adam_mu_dtype="bfloat16",
+                            embedding_optimizer="factored"),
+        total_steps=1000)
+    stepf = build_train_step_fn(apply_fn, cfg, txf)
+    stf, _ = create_train_state(variables, txf)
+
+    def fullf_body(st, key):
+        st, m = stepf(st, dev_batch, key)
+        return st, m["loss"]
+
+    tf_, _ = timed_scan(fullf_body, jax.device_put(stf), keys)
+    results["full_step_factored_embed_bf16_mu_ms"] = tf_ * 1e3
+    n_embed = sum(
+        int(np.prod(np.shape(leaf)))
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+            state.params)[0]
+        if "word_embeddings" in
+        "/".join(str(getattr(k, "key", k)) for k in path))
+    results["word_embedding_params"] = n_embed
+
     # ---- roofline arithmetic ----
     n_params = sum(int(np.prod(np.shape(x)))
                    for x in jax.tree_util.tree_leaves(state.params))
