@@ -49,6 +49,54 @@ def extract_features(data_dir: str, file_name: str, out_file_name: str,
     manifest = read_manifest(os.path.join(data_dir, file_name))
     n = len(manifest)
 
+    # ---- text config / vocab resolution (before any heavy work so bad
+    # --text-params/--text-vocab combinations fail fast) ----
+    cfg = TextEncoderConfig.arabertv2()
+    texts = [preprocess_arabic_tweet(t) for t in manifest.texts]
+
+    # Corpus-MLM flax-npz encoders (train/pretrain.save_encoder_params):
+    # infer the architecture from the tree shapes and splice directly —
+    # this is the offline-real-weights path for the README feature-SVM
+    # rows (extract_feat.py:90-92 loads downloaded AraBERTv2 instead).
+    mlm_tree = None
+    if text_params_path and text_params_path.endswith(".npz"):
+        from mpmc_tpu.models.pretrained import (infer_text_config_from_tree,
+                                                load_state_dict)
+        sd = load_state_dict(text_params_path)
+        if "__flax_encoder__" in sd:
+            from mpmc_tpu.train.pretrain import unflatten_params
+            mlm_tree = unflatten_params(sd)
+            cfg = infer_text_config_from_tree(mlm_tree)
+            if not text_vocab_path:
+                raise ValueError(
+                    "a corpus-MLM npz encoder needs its matching vocab "
+                    "file (the vocab.txt persisted next to it) via "
+                    "text_vocab_path — the inline corpus vocab would "
+                    "assign different token ids")
+    if text_vocab_path:
+        tok = WordPieceTokenizer.from_file(text_vocab_path)
+        vocab_size = max(tok.vocab.values()) + 1
+        if mlm_tree is not None:
+            if vocab_size != cfg.vocab_size:
+                raise ValueError(
+                    f"vocab file has {vocab_size} ids but the MLM encoder "
+                    f"was trained with {cfg.vocab_size} — wrong vocab.txt?")
+        else:
+            cfg = TextEncoderConfig(vocab_size=vocab_size)
+    else:
+        # corpus-derived vocab (no pretrained vocab file available offline)
+        words: Dict[str, int] = {}
+        for t in texts:
+            for w in t.split():
+                words[w] = words.get(w, 0) + 1
+        top = sorted(words, key=words.get, reverse=True)[:30000]
+        chars = sorted({c for w in top for c in w})
+        vocab = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + top
+                 + ["##" + c for c in chars] + chars)
+        tok = WordPieceTokenizer({t: i for i, t in enumerate(vocab)})
+        cfg = TextEncoderConfig(vocab_size=len(vocab))
+    ids, mask = tok.encode_batch(texts, 128)
+
     # ---- image branch ----
     net = convnext_tiny()
     pipe = ImagePipeline(manifest.img_paths, root=image_root or data_dir,
@@ -85,30 +133,14 @@ def extract_features(data_dir: str, file_name: str, out_file_name: str,
     img_feats = np.concatenate(img_feats)[:n]
 
     # ---- text branch ----
-    cfg = TextEncoderConfig.arabertv2()
-    texts = [preprocess_arabic_tweet(t) for t in manifest.texts]
-    if text_vocab_path:
-        tok = WordPieceTokenizer.from_file(text_vocab_path)
-        vocab_size = max(tok.vocab.values()) + 1
-        cfg = TextEncoderConfig(vocab_size=vocab_size)
-    else:
-        # corpus-derived vocab (no pretrained vocab file available offline)
-        words: Dict[str, int] = {}
-        for t in texts:
-            for w in t.split():
-                words[w] = words.get(w, 0) + 1
-        top = sorted(words, key=words.get, reverse=True)[:30000]
-        chars = sorted({c for w in top for c in w})
-        vocab = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + top
-                 + ["##" + c for c in chars] + chars)
-        tok = WordPieceTokenizer({t: i for i, t in enumerate(vocab)})
-        cfg = TextEncoderConfig(vocab_size=len(vocab))
-    ids, mask = tok.encode_batch(texts, 128)
-
     enc = TextEncoder(cfg)
     txt_vars = enc.init(jax.random.key(1), ids[:1], mask[:1])
     if text_params_path:
-        if text_params_path.endswith(".msgpack"):
+        if mlm_tree is not None:
+            from mpmc_tpu.models.pretrained import _validate
+            _validate(txt_vars["params"], mlm_tree, "params")
+            txt_vars = {"params": mlm_tree}
+        elif text_params_path.endswith(".msgpack"):
             with open(text_params_path, "rb") as f:
                 txt_vars = serialization.from_bytes(txt_vars, f.read())
         else:  # HF AraBERTv2 checkpoint (dir/bin/safetensors) → converter

@@ -87,7 +87,10 @@ def _cmd_extract_features(args):
     from mpmc_tpu.baselines.extract_features import extract_features
     out = extract_features(args.data_dir, args.file_name, args.out_file_name,
                            image_root=args.image_root,
-                           features_dir=args.features_dir)
+                           features_dir=args.features_dir,
+                           text_vocab_path=args.text_vocab,
+                           text_params_path=args.text_params,
+                           image_params_path=args.image_params)
     print(f"features written to {out}")
     return 0
 
@@ -507,6 +510,15 @@ def main(argv=None):
     p.add_argument("--image-root", default=None)
     p.add_argument("--features-dir", default=None,
                    help="override output dir (default <data-dir>/features)")
+    p.add_argument("--text-vocab", default=None,
+                   help="WordPiece vocab file (required with a corpus-MLM "
+                        "npz encoder: the vocab.txt saved next to it)")
+    p.add_argument("--text-params", default=None,
+                   help="text encoder weights: HF checkpoint dir/file, "
+                        "msgpack, or a corpus-MLM flax npz "
+                        "(train --mlm-epochs output)")
+    p.add_argument("--image-params", default=None,
+                   help="ConvNeXt-Tiny weights (torch checkpoint/msgpack)")
     p.set_defaults(fn=_cmd_extract_features)
 
     p = sub.add_parser("train")

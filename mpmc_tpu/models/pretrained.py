@@ -121,6 +121,25 @@ def _convert_text(path: str, text_cfg, dst: Dict) -> Dict:
     return conv
 
 
+def infer_text_config_from_tree(tree: Dict) -> "TextEncoderConfig":
+    """Recover a ``TextEncoderConfig`` from a flax encoder param tree's
+    array shapes (corpus-MLM npz checkpoints carry no config sidecar):
+    vocab/hidden from the embedding table, heads/head-dim from the fused
+    attention kernels, layer count from the ``layer_i`` groups."""
+    from mpmc_tpu.config import TextEncoderConfig
+    vocab, hidden = tree["word_embeddings"]["embedding"].shape
+    max_pos = tree["position_embeddings"]["embedding"].shape[0]
+    type_vocab = tree["token_type_embeddings"]["embedding"].shape[0]
+    heads = tree["layer_0"]["attention"]["query"]["kernel"].shape[1]
+    inter = tree["layer_0"]["intermediate"]["kernel"].shape[1]
+    layers = sum(1 for k in tree if k.startswith("layer_"))
+    return TextEncoderConfig(vocab_size=vocab, hidden_size=hidden,
+                             num_layers=layers, num_heads=heads,
+                             intermediate_size=inter,
+                             max_position_embeddings=max_pos,
+                             type_vocab_size=type_vocab)
+
+
 def _convert_image(path: str, arch: str, num_classes: int = 0) -> Dict:
     """Convert an image-backbone checkpoint to ``{"params": tree,
     "batch_stats": tree}``.

@@ -3,6 +3,8 @@ quality lever (VERDICT r2 #2).  Pins: loss decreases, the saved encoder
 npz splices through the standard PretrainedSpec.text path, and char-noise
 augmentation preserves/extends the corpus."""
 
+import json
+
 import numpy as np
 import pytest
 
@@ -178,3 +180,81 @@ def test_caption_cache_keys_on_generator(tmp_path):
     # and each path reloads from its own entry
     again = precompute_captions(paths, imgs, cache_dir=str(tmp_path))
     assert again == placeholder
+
+
+def _mlm_npz_fixture(corpus_tok, tmp_path):
+    """Random-init tiny encoder saved as an MLM npz + matching vocab +
+    4-row manifest — enough to pin the extract-features npz plumbing."""
+    import jax
+
+    from mpmc_tpu.models.bert import TextEncoder
+
+    texts, tok = corpus_tok
+    cfg = _tiny_cfg(max(tok.vocab.values()) + 1)
+    enc_path = str(tmp_path / "mlm.npz")
+    enc = TextEncoder(cfg)
+    ids, mask = tok.encode_batch(texts[:2], 16)
+    variables = enc.init(jax.random.key(0), ids, mask)
+    save_encoder_params(variables["params"], enc_path)
+    vocab_path = str(tmp_path / "vocab.txt")
+    tok.save(vocab_path)
+
+    rows = [{"id": f"m_{i}.png", "img_path": f"m_{i}.png",
+             "text": texts[i], "class_label": "propaganda"}
+            for i in range(4)]
+    with open(tmp_path / "m.json", "w") as f:
+        json.dump(rows, f)
+    return cfg, enc_path, vocab_path
+
+
+def test_extract_features_mlm_npz_validation(corpus_tok, tmp_path):
+    """Config inference from a corpus-MLM npz tree + the fail-fast
+    validation paths (vocab required, vocab/encoder size match) — these
+    raise before any image work (extract_feat.py:90-92 is the reference's
+    downloaded-AraBERTv2 equivalent)."""
+    from mpmc_tpu.baselines.extract_features import extract_features
+    from mpmc_tpu.models.pretrained import infer_text_config_from_tree
+
+    cfg, enc_path, vocab_path = _mlm_npz_fixture(corpus_tok, tmp_path)
+
+    # shape-inference round-trip
+    tree = unflatten_params(
+        {k: v for k, v in np.load(enc_path).items()})
+    inferred = infer_text_config_from_tree(tree)
+    assert (inferred.vocab_size, inferred.hidden_size,
+            inferred.num_layers, inferred.num_heads,
+            inferred.intermediate_size) == (
+        cfg.vocab_size, cfg.hidden_size, cfg.num_layers, cfg.num_heads,
+        cfg.intermediate_size)
+
+    # vocab file is mandatory with an npz encoder
+    with pytest.raises(ValueError, match="vocab"):
+        extract_features(str(tmp_path), "m.json", "f.json",
+                         text_params_path=enc_path,
+                         features_dir=str(tmp_path / "feats"))
+
+    # wrong vocab (different size) fails loudly
+    bad_vocab = str(tmp_path / "bad_vocab.txt")
+    with open(vocab_path) as f, open(bad_vocab, "w") as g:
+        g.write("".join(f.readlines()[:-2]))
+    with pytest.raises(ValueError, match="vocab"):
+        extract_features(str(tmp_path), "m.json", "f.json",
+                         text_vocab_path=bad_vocab,
+                         text_params_path=enc_path,
+                         features_dir=str(tmp_path / "feats"))
+
+
+@pytest.mark.slow
+def test_extract_features_accepts_mlm_npz(corpus_tok, tmp_path):
+    """Full C4 extraction with a corpus-MLM npz encoder: features come out
+    at the npz tree's hidden size (inferred arch, not arabertv2's 768)."""
+    from mpmc_tpu.baselines.extract_features import extract_features
+
+    cfg, enc_path, vocab_path = _mlm_npz_fixture(corpus_tok, tmp_path)
+    out = extract_features(str(tmp_path), "m.json", "f.json",
+                           text_vocab_path=vocab_path,
+                           text_params_path=enc_path,
+                           features_dir=str(tmp_path / "feats"))
+    feats = json.load(open(out))
+    v = next(iter(feats["textfeats"].values()))
+    assert len(v) == cfg.hidden_size
