@@ -75,6 +75,7 @@ def test_logits_invariant_under_trim(pooling):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_2a_driver_buckets(tmp_path, caplog):
     """The 2A driver trims the corpus to the bucketed length and still
     produces a scoreable fold TSV."""

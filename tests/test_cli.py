@@ -59,6 +59,7 @@ def test_cli_predict_2a(tmp_path, capsys):
     assert len(ids) == 312 and np.all((p >= 0) & (p <= 1))
 
 
+@pytest.mark.slow
 def test_cli_train_2b_image_arch_selection(tmp_path, capsys):
     """--image-arch/--image-size swap the 2B zoo backbone (C22 `nets`,
     Untitled-2.py:362-371) from the CLI; --binary-head wires the
@@ -81,6 +82,7 @@ def test_cli_baselines_2a(tmp_path, capsys):
     assert "ngram: acc=0.740 macro-F1=0.579" in out
 
 
+@pytest.mark.slow
 def test_cli_baselines_2c_chains_feature_svm(tmp_path, capsys):
     """`baselines --subtask 2c` runs the full reference run_baselines chain
     (subtask_2c.py:99-127): majority/random/ngram + extract-features →

@@ -106,6 +106,7 @@ def test_fold_parallel_scan_fused(rng, tmp_path):
     assert os.path.exists(f"{prefix}_probs_fold_1.tsv")
 
 
+@pytest.mark.slow
 def test_driver_fold_parallel_2a(rng, tmp_path):
     """run_subtask_2a in fold-parallel mode on the (2,4) CPU mesh, real data."""
     from mpmc_tpu.cli.experiments import run_subtask_2a
@@ -202,6 +203,7 @@ def test_fold_parallel_reference_semantics(rng, tmp_path, caplog):
         assert int(np.asarray(restored.step)) > 0
 
 
+@pytest.mark.slow
 def test_fold_parallel_single_chip_mesh(rng, tmp_path):
     """MeshConfig(fold_parallel=True, num_fold_shards=1): all folds stack
     on EVERY device (the single-chip MFU lever) — the fold axis (here 3,

@@ -68,6 +68,7 @@ def test_predict_roundtrip_2b_zoo_variant(tmp_path, monkeypatch):
                 "--image-size", "32", "--binary-head"])
 
 
+@pytest.mark.slow
 def test_predict_roundtrip_2c_multimodal(tmp_path, monkeypatch):
     """Full 2C (text+image+caption) round-trip: predict probs == in-loop
     eval probs exactly."""

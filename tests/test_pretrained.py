@@ -120,6 +120,7 @@ def test_load_state_dict_npz(tmp_path):
     assert list(load_state_dict(p)) == ["a"]
 
 
+@pytest.mark.slow
 def test_train_checkpoint_predict_roundtrip(rng, tmp_path, monkeypatch):
     """CLI train --checkpoint-dir persists the vocab; predict --checkpoint
     restores it and reproduces the in-loop eval probabilities exactly
@@ -175,6 +176,7 @@ def test_train_checkpoint_predict_roundtrip(rng, tmp_path, monkeypatch):
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_cli_train_resume_restores_state(rng, tmp_path, monkeypatch):
     """train --resume restores the fold's latest checkpoint (exact state
     incl. the optimizer step counter) before continuing."""
