@@ -224,16 +224,10 @@ def test_efficientnet_factory_accepts_b0_to_b4(rng):
     """The CLI advertises efficientnet_b0..b4 (Untitled-2.py:362-371); the
     factory must accept every one of them (VERDICT r2: b0-b2 raised).
     Construction only — the forward pass is covered by the slow variant."""
-    import jax
-
     for variant in ("b0", "b1", "b2", "b3", "b4"):
-        create_image_backbone(
+        net = create_image_backbone(
             ImageEncoderConfig(arch=f"efficientnet_{variant}"))
-    img = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
-    net = create_image_backbone(ImageEncoderConfig(arch="efficientnet_b0"))
-    variables = net.init(jax.random.key(0), img, train=False)
-    out = net.apply(variables, img, train=False)
-    assert out.ndim == 2 and out.shape[0] == 1
+        assert net is not None
 
 
 @pytest.mark.slow
@@ -242,7 +236,7 @@ def test_efficientnet_zoo_b0_to_b4_forward(rng):
     import jax
 
     img = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
-    for variant in ("b1", "b2", "b3", "b4"):
+    for variant in ("b0", "b1", "b2", "b3", "b4"):
         net = create_image_backbone(
             ImageEncoderConfig(arch=f"efficientnet_{variant}"))
         variables = net.init(jax.random.key(0), img, train=False)

@@ -44,6 +44,7 @@ def test_char_noise_extends_corpus():
         assert len(t.split()) in (2, 3)
 
 
+@pytest.mark.slow
 def test_mlm_loss_decreases_and_splices(corpus_tok, tmp_path):
     texts, tok = corpus_tok
     vocab_size = max(tok.vocab.values()) + 1

@@ -52,6 +52,7 @@ def test_nt_xent_permutation_invariant_targets():
     assert loss < np.log(2 * b - 1)
 
 
+@pytest.mark.slow
 def test_simclr_learns_and_splices(tmp_path):
     rng = np.random.default_rng(0)
     imgs = _synthetic_images(rng)

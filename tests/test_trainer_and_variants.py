@@ -141,6 +141,7 @@ def test_rotate_shear_matches_bilinear_gather(rng):
     assert d.mean() < 5e-3 and d.max() < 5e-2  # bf16 shear resampling
 
 
+@pytest.mark.slow
 def test_captioner_generate(rng):
     from mpmc_tpu.models.captioner import ImageCaptioner
     cap = ImageCaptioner(vocab_size=64, image_size=32, patch_size=8,
@@ -187,6 +188,7 @@ def test_analysis_utilities(tmp_path):
     assert rep["macro_f1"] == pytest.approx(0.41791, abs=1e-4)
 
 
+@pytest.mark.slow
 def test_simple_2c_organizer_baseline(rng):
     """C28 (Multimodal_example_task2C.txt:152-197): last-token pooling (the
     reference's `[:, -1, :]` bug — NOT the CLS token), resnet50-logits
