@@ -31,7 +31,7 @@ import numpy as np
 
 from mpmc_tpu.io.manifest import Manifest, read_manifest
 from mpmc_tpu.io.scorer import evaluate
-from mpmc_tpu.io.tsv import check_format, write_label_tsv
+from mpmc_tpu.io.tsv import check_format, write_label_tsv, write_prob_tsv
 
 log = logging.getLogger(__name__)
 
@@ -70,7 +70,14 @@ def run_random_baseline(train_path: str, dev_path: str, out_path: str,
 
 
 def run_ngram_baseline(train_path: str, dev_path: str, out_path: str,
-                       run_id: str = "ngram"):
+                       run_id: str = "ngram", probs_out: str | None = None):
+    """TF-IDF + linear SVC (``subtask_2a.py:73-94``).
+
+    ``probs_out`` additionally emits a 4-column probability TSV
+    (Platt-calibrated via sigmoid CV on train) in the same format the
+    neural fold drivers write — so the classic model can join a neural
+    probability-average ensemble through ``cli combine`` (C27). The label
+    TSV stays the raw uncalibrated SVC for README-row parity."""
     from sklearn.feature_extraction.text import TfidfVectorizer
     from sklearn.pipeline import Pipeline
     from sklearn.svm import SVC
@@ -85,6 +92,20 @@ def run_ngram_baseline(train_path: str, dev_path: str, out_path: str,
     pipe.fit(train.texts, train.labels)
     pred = pipe.predict(dev.texts)
     write_label_tsv(out_path, dev.ids, pred, run_id)
+    if probs_out:
+        from sklearn.calibration import CalibratedClassifierCV
+
+        cal = Pipeline([
+            ("vect", TfidfVectorizer(ngram_range=(1, 1), lowercase=True,
+                                     max_df=0.95, min_df=3,
+                                     max_features=5000)),
+            ("svc", CalibratedClassifierCV(
+                SVC(C=1, kernel="linear", random_state=0), ensemble=False)),
+        ])
+        cal.fit(train.texts, train.labels)
+        probs = cal.predict_proba(dev.texts)[:, 1]
+        write_prob_tsv(probs_out, dev.ids, (probs > 0.5).astype(int),
+                       probs, run_id)
     return _check_and_score(out_path, dev_path)
 
 

@@ -55,7 +55,9 @@ def _cmd_baselines(args):
     if sub in ("2A", "2C"):
         results["ngram"] = run_ngram_baseline(
             args.train_file_path, args.dev_file_path,
-            f"{args.out_dir}/ngram_baseline_{sub}.tsv")
+            f"{args.out_dir}/ngram_baseline_{sub}.tsv",
+            probs_out=(f"{args.out_dir}/ngram_baseline_{sub}_probs.tsv"
+                       if args.ngram_probs else None))
     if sub in ("2B", "2C") and not args.skip_features:
         from mpmc_tpu.baselines.extract_features import extract_features
         feats_dir = args.features_dir or os.path.join(args.out_dir,
@@ -501,6 +503,9 @@ def main(argv=None):
                    help="ConvNeXt-Tiny checkpoint for the image branch")
     p.add_argument("--skip-features", action="store_true",
                    help="skip the frozen-feature SVM rows (no GPU/TPU pass)")
+    p.add_argument("--ngram-probs", action="store_true",
+                   help="also emit a Platt-calibrated ngram probability TSV "
+                        "(joinable into `combine` prob-average ensembles)")
     p.set_defaults(fn=_cmd_baselines)
 
     p = sub.add_parser("extract-features")

@@ -76,10 +76,21 @@ def test_cli_train_2b_image_arch_selection(tmp_path, capsys):
 
 def test_cli_baselines_2a(tmp_path, capsys):
     assert main(["baselines", "--subtask", "2a", "-tr", TRAIN, "-te", DEV,
-                 "-o", str(tmp_path)]) == 0
+                 "-o", str(tmp_path), "--ngram-probs"]) == 0
     out = capsys.readouterr().out
     assert "majority: acc=0.718 macro-F1=0.418" in out
+    # the label TSV stays the raw SVC — README row parity unaffected by
+    # the extra calibrated probability emission
     assert "ngram: acc=0.740 macro-F1=0.579" in out
+    from mpmc_tpu.io.tsv import read_prob_predictions
+    # 4-column ensemble-interchange format (like the reference's fold-prob
+    # TSVs) — not the 3-column submission format, so no check_format here
+    probs_path = str(tmp_path / "ngram_baseline_2A_probs.tsv")
+    ids, labels, probs = read_prob_predictions(probs_path)
+    assert len(ids) == 312 and np.all((probs >= 0) & (probs <= 1))
+    # calibrated probabilities agree with their own thresholded labels
+    for y, p in zip(labels, probs):
+        assert (y == "propaganda") == (p > 0.5)
 
 
 @pytest.mark.slow
