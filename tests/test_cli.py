@@ -93,6 +93,32 @@ def test_cli_baselines_2a(tmp_path, capsys):
         assert (y == "propaganda") == (p > 0.5)
 
 
+def test_ngram_fold_probs_protocol(tmp_path):
+    """run_ngram_fold_probs mirrors the neural 2C fold protocol: K TSVs,
+    each from an SVM fit on that fold's train split (StratifiedKFold seed
+    42), all predicting the full dev set — combinable with neural fold
+    TSVs as equal ensemble members."""
+    from mpmc_tpu.baselines import run_ngram_fold_probs
+    from mpmc_tpu.cv.ensemble import average_probability
+    from mpmc_tpu.io.tsv import read_prob_predictions
+
+    paths = run_ngram_fold_probs(TRAIN, DEV, str(tmp_path / "ngram_2C"),
+                                 num_folds=3)
+    assert len(paths) == 3
+    folds = []
+    for p in paths:
+        ids, _, probs = read_prob_predictions(p)
+        assert len(ids) == 312
+        folds.append(dict(zip(ids, probs)))
+    # folds differ (trained on different subsets) but correlate
+    a = np.array([folds[0][i] for i in folds[0]])
+    b = np.array([folds[1][i] for i in folds[0]])
+    assert not np.allclose(a, b)
+    assert np.corrcoef(a, b)[0, 1] > 0.5
+    avg = average_probability(folds)
+    assert len(avg) == 312
+
+
 @pytest.mark.slow
 def test_cli_baselines_2c_chains_feature_svm(tmp_path, capsys):
     """`baselines --subtask 2c` runs the full reference run_baselines chain
