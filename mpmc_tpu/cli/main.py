@@ -134,6 +134,18 @@ def _cmd_train(args):
             arch=args.image_arch or img.arch,
             image_size=args.image_size or img.image_size)
         model = dataclasses.replace(model, image=img)
+    if args.pooling or args.fusion:
+        # C11 pooling modes / C12 fusion families, selectable per run
+        # (the reference edits module globals instead,
+        # Multimodal_example_task2C.py:77-84) — also the architecture-
+        # diversity lever for `combine` ensembles.
+        from mpmc_tpu.config import FusionMethod, PoolingType
+        model = dataclasses.replace(
+            model,
+            pooling=PoolingType(args.pooling) if args.pooling
+            else model.pooling,
+            fusion=FusionMethod(args.fusion) if args.fusion
+            else model.fusion)
     mesh = MeshConfig(num_fold_shards=args.fold_shards,
                       num_data_shards=args.data_shards,
                       fold_parallel=args.fold_parallel)
@@ -638,6 +650,14 @@ def main(argv=None):
                    help=">1 trains all folds simultaneously, sharding the "
                         "stacked fold axis over this many devices (must "
                         "divide --num-folds)")
+    p.add_argument("--pooling", default=None,
+                   choices=["cls", "nopooling", "max", "mean", "attention",
+                            "cnn"],
+                   help="text-head pooling mode (C11; default = preset's)")
+    p.add_argument("--fusion", default=None,
+                   choices=["concatenation", "mca", "cross_modal",
+                            "self_attention"],
+                   help="fusion family (C12; default = preset's)")
     p.add_argument("--fold-parallel", action="store_true",
                    help="train all folds as ONE stacked-weights SPMD "
                         "program even on a single chip (--fold-shards 1): "

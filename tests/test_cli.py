@@ -74,6 +74,27 @@ def test_cli_train_2b_image_arch_selection(tmp_path, capsys):
     assert os.path.exists(str(tmp_path / "task2B_kevinmathew.tsv"))
 
 
+@pytest.mark.slow
+def test_cli_train_pooling_fusion_selection(tmp_path):
+    """--pooling/--fusion swap the C11 pooling mode and C12 fusion family
+    from the CLI (the reference edits module globals,
+    Multimodal_example_task2C.py:77-84), and run_meta records the choice
+    so predict restores the exact variant."""
+    import json
+    import os
+
+    assert main(["train", "--subtask", "2c", "--tiny",
+                 "--pooling", "mean", "--fusion", "cross_modal",
+                 "--epochs", "1", "--num-folds", "2", "--fold", "0",
+                 "--batch-size", "8", "--scan-steps", "2",
+                 "--checkpoint-dir", str(tmp_path / "ckpt"),
+                 "-tr", TRAIN, "-te", DEV, "-o", str(tmp_path)]) == 0
+    assert os.path.exists(str(tmp_path / "task2C_kevinmathew.tsv"))
+    meta = json.load(open(tmp_path / "ckpt" / "run_meta.json"))
+    assert meta["model"]["pooling"] == "mean"
+    assert meta["model"]["fusion"] == "cross_modal"
+
+
 def test_cli_baselines_2a(tmp_path, capsys):
     assert main(["baselines", "--subtask", "2a", "-tr", TRAIN, "-te", DEV,
                  "-o", str(tmp_path), "--ngram-probs"]) == 0
