@@ -146,6 +146,17 @@ def _cmd_train(args):
             else model.pooling,
             fusion=FusionMethod(args.fusion) if args.fusion
             else model.fusion)
+        if (model.fusion != FusionMethod.CONCATENATION
+                and model.image is not None
+                and model.image.finetune_dim != model.proj_dim):
+            # Non-concat fusions (MCA/cross_modal/self_attention) require
+            # equal modality widths (build_fusion raises otherwise); in the
+            # reference every branch projects to 512 so the constraint is
+            # invisible (Multimodal_example_task2C.py:596-600,571-575) —
+            # align the image head to proj_dim the same way.
+            model = dataclasses.replace(
+                model, image=dataclasses.replace(
+                    model.image, finetune_dim=model.proj_dim))
     mesh = MeshConfig(num_fold_shards=args.fold_shards,
                       num_data_shards=args.data_shards,
                       fold_parallel=args.fold_parallel)

@@ -95,6 +95,28 @@ def test_cli_train_pooling_fusion_selection(tmp_path):
     assert meta["model"]["fusion"] == "cross_modal"
 
 
+@pytest.mark.slow
+def test_cli_train_small_cross_modal_width_alignment(tmp_path):
+    """--small sets image finetune_dim=64 ≠ proj_dim=128; non-concat
+    fusions require equal modality widths (fusion.py build_fusion), so the
+    CLI must align the image head to proj_dim — regression for the
+    `--small --fusion cross_modal` ValueError."""
+    import json
+    import os
+
+    assert main(["train", "--subtask", "2c", "--small",
+                 "--fusion", "cross_modal",
+                 "--epochs", "1", "--num-folds", "2", "--fold", "0",
+                 "--batch-size", "8", "--scan-steps", "2",
+                 "--checkpoint-dir", str(tmp_path / "ckpt"),
+                 "-tr", TRAIN, "-te", DEV, "-o", str(tmp_path)]) == 0
+    assert os.path.exists(str(tmp_path / "task2C_kevinmathew.tsv"))
+    meta = json.load(open(tmp_path / "ckpt" / "run_meta.json"))
+    assert meta["model"]["fusion"] == "cross_modal"
+    assert (meta["model"]["image"]["finetune_dim"]
+            == meta["model"]["proj_dim"])
+
+
 def test_cli_baselines_2a(tmp_path, capsys):
     assert main(["baselines", "--subtask", "2a", "-tr", TRAIN, "-te", DEV,
                  "-o", str(tmp_path), "--ngram-probs"]) == 0
