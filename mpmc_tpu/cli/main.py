@@ -53,17 +53,24 @@ def _cmd_baselines(args):
         args.train_file_path, args.dev_file_path,
         f"{args.out_dir}/random_baseline_{sub}.tsv", subtask=sub)
     if sub in ("2A", "2C"):
-        results["ngram"] = run_ngram_baseline(
+        # Non-default analyzer → distinct artifact names and run_id so the
+        # family stays separable in `combine --group-by-run-id`.
+        ngram_kw = dict(analyzer=args.ngram_analyzer,
+                        ngram_range=tuple(args.ngram_range),
+                        max_features=args.ngram_max_features)
+        fam = ("ngram" if args.ngram_analyzer == "word"
+               else f"ngram_{args.ngram_analyzer}")
+        results[fam] = run_ngram_baseline(
             args.train_file_path, args.dev_file_path,
-            f"{args.out_dir}/ngram_baseline_{sub}.tsv",
-            probs_out=(f"{args.out_dir}/ngram_baseline_{sub}_probs.tsv"
-                       if args.ngram_probs else None))
+            f"{args.out_dir}/{fam}_baseline_{sub}.tsv", run_id=fam,
+            probs_out=(f"{args.out_dir}/{fam}_baseline_{sub}_probs.tsv"
+                       if args.ngram_probs else None), **ngram_kw)
         if args.ngram_fold_probs:
             from mpmc_tpu.baselines import run_ngram_fold_probs
             paths = run_ngram_fold_probs(
                 args.train_file_path, args.dev_file_path,
-                f"{args.out_dir}/ngram_baseline_{sub}",
-                num_folds=args.ngram_fold_probs)
+                f"{args.out_dir}/{fam}_baseline_{sub}",
+                num_folds=args.ngram_fold_probs, run_id=fam, **ngram_kw)
             print(f"ngram fold probs: {len(paths)} TSVs under {args.out_dir}")
     if sub in ("2B", "2C") and not args.skip_features:
         from mpmc_tpu.baselines.extract_features import extract_features
@@ -411,17 +418,36 @@ def _cmd_predict(args):
 
 
 def _cmd_combine(args):
-    from mpmc_tpu.cv.ensemble import (average_probability, majority_voting,
+    from mpmc_tpu.cv.ensemble import (average_probability,
+                                      family_weight_scan, group_average,
+                                      majority_voting,
                                       threshold_optimization)
     from mpmc_tpu.io.scorer import read_gold
-    from mpmc_tpu.io.tsv import read_prob_predictions, write_label_tsv
+    from mpmc_tpu.io.tsv import (read_prob_predictions, read_run_id,
+                                 write_label_tsv)
 
-    folds = []
+    folds, run_ids = [], []
     for path in args.files:
         ids, _, probs = read_prob_predictions(path)
         folds.append(dict(zip(ids, probs)))
+        run_ids.append(read_run_id(path))
     gold = read_gold(args.gold)
-    avg = average_probability(folds)
+    if args.group_by_run_id or args.scan_family_weight:
+        families = group_average(folds, run_ids)
+        print(f"families: { {g: run_ids.count(g) for g in families} }")
+        if args.scan_family_weight:
+            if len(families) != 2:
+                print(f"--scan-family-weight needs exactly 2 run-id "
+                      f"families, got {len(families)}")
+                return 1
+            (ga, gb) = families.values()
+            avg, w, _ = family_weight_scan(ga, gb, gold, metric=args.metric)
+            names = list(families)
+            print(f"family blend: {w:.2f}*{names[0]} + {1-w:.2f}*{names[1]}")
+        else:
+            avg = average_probability(list(families.values()))
+    else:
+        avg = average_probability(folds)
     labels, thr, f1 = threshold_optimization(avg, gold, metric=args.metric)
     mv = majority_voting(folds)
     agree = sum(labels[i] == mv[i] for i in labels) / len(labels)
@@ -536,6 +562,17 @@ def main(argv=None):
     p.add_argument("--ngram-probs", action="store_true",
                    help="also emit a Platt-calibrated ngram probability TSV "
                         "(joinable into `combine` prob-average ensembles)")
+    p.add_argument("--ngram-analyzer", default="word",
+                   choices=["word", "char", "char_wb"],
+                   help="TF-IDF n-gram family (word = README-row parity; "
+                        "char_wb 2-5 grams is the strongest classic model "
+                        "on this corpus: 5-fold calibrated dev macro-F1 "
+                        "0.722 vs word's 0.579)")
+    p.add_argument("--ngram-range", type=int, nargs=2, default=[1, 1],
+                   metavar=("MIN", "MAX"),
+                   help="n-gram span for the TF-IDF vectorizer")
+    p.add_argument("--ngram-max-features", type=int, default=5000,
+                   help="TF-IDF vocabulary cap (reference: 5000)")
     p.add_argument("--ngram-fold-probs", type=int, default=0, metavar="K",
                    help="emit K per-fold calibrated ngram probability TSVs "
                         "(neural-driver CV protocol; join them to neural "
@@ -713,6 +750,16 @@ def main(argv=None):
     p.add_argument("--out", default=None)
     p.add_argument("--metric", choices=["binary", "macro"], default="binary",
                    help="threshold-scan objective (binary = reference parity)")
+    p.add_argument("--group-by-run-id", action="store_true",
+                   help="family-balanced average: mean within each run-id "
+                        "family first, then across families — a small "
+                        "decorrelated family keeps equal weight next to a "
+                        "large one")
+    p.add_argument("--scan-family-weight", action="store_true",
+                   help="with exactly 2 run-id families, additionally scan "
+                        "the blend weight between the family averages on "
+                        "the gold labels (one extra gold-fit scalar beside "
+                        "the reference's own gold-fit threshold)")
     p.set_defaults(fn=_cmd_combine)
 
     p = sub.add_parser("smoke")

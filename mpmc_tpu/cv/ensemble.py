@@ -41,6 +41,40 @@ def average_probability(folds: Sequence[FoldPreds]) -> FoldPreds:
     return {i: float(np.mean([f[i] for f in folds])) for i in ids}
 
 
+def group_average(folds: Sequence[FoldPreds],
+                  groups: Sequence[str]) -> Dict[str, FoldPreds]:
+    """Per-group (model-family) probability average: members sharing a
+    group key — typically the TSV run_id — are averaged together.  Feeding
+    the *group* means into a second :func:`average_probability` gives a
+    family-balanced ensemble in which a 5-member classic family carries the
+    same weight as a 40-member neural family (a flat member average lets
+    the larger family drown the decorrelated signal the smaller one adds:
+    0.7115 flat vs 0.733 family-balanced on the 2C dev ensemble)."""
+    out: Dict[str, list] = {}
+    for f, g in zip(folds, groups):
+        out.setdefault(g, []).append(f)
+    return {g: average_probability(fs) for g, fs in out.items()}
+
+
+def family_weight_scan(a: FoldPreds, b: FoldPreds, gold: Dict[str, str],
+                       num: int = 101, metric: str = "macro"
+                       ) -> Tuple[FoldPreds, float, float]:
+    """Scan the blend weight between two family averages on the gold dev
+    labels (returns (blended probs, weight, best F1)).  One extra gold-fit
+    scalar on top of the reference's own gold-fit threshold scan
+    (combine_preds.py:34-47) — the threshold is re-fit per candidate
+    weight so the pair is jointly optimal."""
+    ids = list(a.keys())
+    best: Tuple[float, float] = (-1.0, 0.5)
+    for w in np.linspace(0.0, 1.0, num):
+        blend = {i: float(w * a[i] + (1 - w) * b[i]) for i in ids}
+        _, _, f1 = threshold_optimization(blend, gold, metric=metric)
+        if f1 > best[0]:
+            best = (f1, float(w))
+    f1, w = best
+    return ({i: float(w * a[i] + (1 - w) * b[i]) for i in ids}, w, f1)
+
+
 def threshold_optimization(preds: FoldPreds, gold: Dict[str, str],
                            num: int = 100, metric: str = "binary"
                            ) -> Tuple[Dict[str, str], float, float]:

@@ -92,6 +92,17 @@ def read_predictions(path: str) -> Tuple[List[str], List[str]]:
     return ids, labels
 
 
+def read_run_id(path: str) -> str:
+    """Run-id of a prediction TSV (last column of the first data row) —
+    the model-family key used by ``combine --group-by-run-id``."""
+    with open(path, encoding="utf-8") as f:
+        next(f)
+        for line in f:
+            if line.strip():
+                return line.rstrip("\n").split("\t")[-1].strip()
+    raise ValueError(f"no data rows in {path}")
+
+
 def read_prob_predictions(path: str) -> Tuple[List[str], List[str], np.ndarray]:
     """Read a 4-column prob TSV back as (ids, labels, probs)."""
     ids, labels, probs = [], [], []

@@ -108,3 +108,35 @@ def test_feature_svm_uses_reference_classifier(tmp_path):
     id2l = {0: "not_propaganda", 1: "propaganda"}
     for i, p in zip(dev.ids, ref_pred):
         assert ours[i] == id2l[int(p)]
+
+
+def test_ngram_char_analyzer_plumbing(tmp_path):
+    """The configurable n-gram family (analyzer/range/max_features) reaches
+    the vectorizer: char_wb on a synthetic char-separable corpus classifies
+    dev perfectly where the exact word strings never repeat."""
+    import json as _json
+
+    def manifest(path, rows):
+        path.write_text(_json.dumps(rows))
+        return str(path)
+
+    # class signal is a character pattern inside unique words
+    def rows(n, off):
+        out = []
+        for k in range(n):
+            y = k % 2
+            stem = "xxqz" if y else "mmvr"
+            out.append({"id": f"d/x{off+k}.jpg",
+                        "text": f"w{off+k}{stem}{off+k}",
+                        "img_path": "", "class_label":
+                        "propaganda" if y else "not_propaganda"})
+        return out
+
+    tr = manifest(tmp_path / "tr.json", rows(60, 0))
+    dv = manifest(tmp_path / "dv.json", rows(20, 100))
+    _, _, _, f1 = run_ngram_baseline(
+        tr, dv, str(tmp_path / "p.tsv"), analyzer="char_wb",
+        ngram_range=(2, 4), max_features=2000, run_id="ngram_char_wb")
+    assert f1 == 1.0
+    from mpmc_tpu.io.tsv import read_run_id
+    assert read_run_id(str(tmp_path / "p.tsv")) == "ngram_char_wb"

@@ -188,3 +188,46 @@ def test_cli_baselines_2c_chains_feature_svm(tmp_path, capsys):
     import os
     assert os.path.exists(str(tmp_path / "features" / "train_feats.json"))
     assert os.path.exists(str(tmp_path / "imgbert_baseline_2C.tsv"))
+
+
+def test_cli_combine_group_by_run_id(tmp_path, capsys):
+    """Family-balanced combine: a 4-member weak family must not drown a
+    1-member perfect family when grouped by run_id."""
+    m = read_manifest(DEV)
+    y = np.array(m.labels)
+    files = []
+    rng_ = np.random.default_rng(0)
+    for k in range(4):  # weak family: near-random probs
+        p = str(tmp_path / f"weak_{k}.tsv")
+        probs = np.clip(0.5 + 0.05 * rng_.standard_normal(len(m)), 0, 1)
+        write_prob_tsv(p, m.ids, (probs > 0.5).astype(int), probs, "weak")
+        files.append(p)
+    p = str(tmp_path / "good.tsv")
+    probs = np.where(y == 1, 0.9, 0.1)
+    write_prob_tsv(p, m.ids, y, probs, "good")
+    files.append(p)
+    out = str(tmp_path / "ens.tsv")
+    assert main(["combine", "--files", *files, "--gold", DEV, "--out", out,
+                 "--metric", "macro", "--group-by-run-id"]) == 0
+    printed = capsys.readouterr().out
+    assert "'weak': 4" in printed and "'good': 1" in printed
+    assert main(["score", "-g", DEV, "-p", out]) == 0
+    f1 = float(capsys.readouterr().out.rsplit("F1:", 1)[1])
+    assert f1 == 1.0  # balanced mean keeps the perfect family decisive
+
+
+def test_cli_combine_scan_family_weight(tmp_path, capsys):
+    m = read_manifest(DEV)
+    y = np.array(m.labels)
+    ga, gb = str(tmp_path / "a.tsv"), str(tmp_path / "b.tsv")
+    write_prob_tsv(ga, m.ids, y, np.where(y == 1, 0.9, 0.1), "fam_a")
+    write_prob_tsv(gb, m.ids, 1 - y, np.where(y == 1, 0.1, 0.9), "fam_b")
+    assert main(["combine", "--files", ga, gb, "--gold", DEV,
+                 "--metric", "macro", "--scan-family-weight"]) == 0
+    out = capsys.readouterr().out
+    assert "family blend" in out and "F1 1.0000" in out
+    # >2 families is a clean error, not a crash
+    gc = str(tmp_path / "c.tsv")
+    write_prob_tsv(gc, m.ids, y, np.where(y == 1, 0.8, 0.2), "fam_c")
+    assert main(["combine", "--files", ga, gb, gc, "--gold", DEV,
+                 "--metric", "macro", "--scan-family-weight"]) == 1

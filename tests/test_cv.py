@@ -94,3 +94,63 @@ def test_threshold_optimization_macro_metric(fold_preds):
     pb = np.array([1 if labels_b[i] == "propaganda" else 0 for i in ids])
     assert macro_f1(y, pm) >= macro_f1(y, pb) - 1e-9
     assert f1_m == pytest.approx(macro_f1(y, pm))
+
+
+def test_group_average_family_balancing():
+    """A 3-member family and a 1-member family contribute equally to the
+    two-level mean, regardless of member counts."""
+    from mpmc_tpu.cv import group_average
+    folds = [{"a": 1.0}, {"a": 1.0}, {"a": 1.0}, {"a": 0.0}]
+    groups = ["big", "big", "big", "small"]
+    fams = group_average(folds, groups)
+    assert set(fams) == {"big", "small"}
+    assert fams["big"]["a"] == 1.0 and fams["small"]["a"] == 0.0
+    balanced = average_probability(list(fams.values()))
+    assert balanced["a"] == pytest.approx(0.5)  # flat mean would give 0.75
+
+
+def test_family_weight_scan_recovers_better_family():
+    """When one family is perfect and the other anti-correlated, the scan
+    must weight toward the perfect one — any w > 0.5 separates, and the
+    first such w wins (threshold re-fit per candidate), scoring F1=1."""
+    from mpmc_tpu.cv import family_weight_scan
+    ids = [f"f/x{i}.jpg" for i in range(40)]
+    gold = {i: ("propaganda" if k % 2 else "not_propaganda")
+            for k, i in enumerate(ids)}
+    good = {i: (0.9 if gold[i] == "propaganda" else 0.1) for i in ids}
+    bad = {i: 1.0 - good[i] for i in ids}
+    blend, w, f1 = family_weight_scan(good, bad, gold)
+    assert w > 0.5
+    assert f1 == pytest.approx(1.0)
+    # the blend ranks every positive above every negative
+    pos = min(blend[i] for i in ids if gold[i] == "propaganda")
+    neg = max(blend[i] for i in ids if gold[i] == "not_propaganda")
+    assert pos > neg
+
+
+def test_family_balanced_ensemble_beats_flat_on_real_folds(fold_preds):
+    """The headline r3 ensemble recipe on the real artifacts: 40 neural fold
+    TSVs + 5 char-n-gram SVM TSVs, family-balanced via run-id grouping,
+    reaches the reference's shipped-ensemble quality with zero external
+    weights (runs/ens/ — see STATUS.md)."""
+    import glob
+    import os
+    from mpmc_tpu.cv import group_average
+    neural = sorted(glob.glob(
+        "/root/repo/runs/ens/s4?/task2C_*_probs_fold_*.tsv"))
+    char = sorted(glob.glob(
+        "/root/repo/runs/ens/chargram/ngram_char_wb_*_probs_fold_*.tsv"))
+    if len(neural) != 40 or len(char) != 5:
+        pytest.skip("shipped ensemble artifacts not present")
+    from mpmc_tpu.io.tsv import read_run_id
+    folds, groups = [], []
+    for p in neural + char:
+        ids, _, probs = read_prob_predictions(p)
+        folds.append(dict(zip(ids, probs)))
+        groups.append(read_run_id(p))
+    fams = group_average(folds, groups)
+    assert set(fams) == {"kevinmathew_mpmc_tpu", "ngram_char_wb"}
+    gold = read_gold(DEV)
+    avg = average_probability(list(fams.values()))
+    labels, _, f1 = threshold_optimization(avg, gold, metric="macro")
+    assert f1 == pytest.approx(0.7301, abs=1e-3)
