@@ -433,7 +433,7 @@ def _cmd_combine(args):
         run_ids.append(read_run_id(path))
     gold = read_gold(args.gold)
     if args.group_by_run_id or args.scan_family_weight:
-        families = group_average(folds, run_ids)
+        families = group_average(folds, run_ids, space=args.average)
         print(f"families: { {g: run_ids.count(g) for g in families} }")
         if args.scan_family_weight:
             if len(families) != 2:
@@ -441,13 +441,15 @@ def _cmd_combine(args):
                       f"families, got {len(families)}")
                 return 1
             (ga, gb) = families.values()
-            avg, w, _ = family_weight_scan(ga, gb, gold, metric=args.metric)
+            avg, w, _ = family_weight_scan(ga, gb, gold, metric=args.metric,
+                                           space=args.average)
             names = list(families)
             print(f"family blend: {w:.2f}*{names[0]} + {1-w:.2f}*{names[1]}")
         else:
-            avg = average_probability(list(families.values()))
+            avg = average_probability(list(families.values()),
+                                      space=args.average)
     else:
-        avg = average_probability(folds)
+        avg = average_probability(folds, space=args.average)
     labels, thr, f1 = threshold_optimization(avg, gold, metric=args.metric)
     mv = majority_voting(folds)
     agree = sum(labels[i] == mv[i] for i in labels) / len(labels)
@@ -750,6 +752,10 @@ def main(argv=None):
     p.add_argument("--out", default=None)
     p.add_argument("--metric", choices=["binary", "macro"], default="binary",
                    help="threshold-scan objective (binary = reference parity)")
+    p.add_argument("--average", choices=["prob", "logit"], default="prob",
+                   help="member-pooling space (prob = reference parity; "
+                        "logit = geometric mean of odds, the standard "
+                        "pooling for calibrated probabilities)")
     p.add_argument("--group-by-run-id", action="store_true",
                    help="family-balanced average: mean within each run-id "
                         "family first, then across families — a small "

@@ -154,3 +154,19 @@ def test_family_balanced_ensemble_beats_flat_on_real_folds(fold_preds):
     avg = average_probability(list(fams.values()))
     labels, _, f1 = threshold_optimization(avg, gold, metric="macro")
     assert f1 == pytest.approx(0.7301, abs=1e-3)
+
+
+def test_logit_average():
+    """Logit-space pooling is the geometric mean of odds: symmetric pairs
+    cancel to 0.5, and a confident member pulls harder than the arithmetic
+    mean allows."""
+    from mpmc_tpu.cv import average_probability
+    folds = [{"a": 0.9, "b": 0.99}, {"a": 0.1, "b": 0.5}]
+    out = average_probability(folds, space="logit")
+    assert out["a"] == pytest.approx(0.5)
+    # geometric-odds mean of (99, 1) = sqrt(99) odds -> ~0.9087
+    assert out["b"] == pytest.approx(
+        1 / (1 + np.exp(-0.5 * np.log(99))), abs=1e-9)
+    flat = average_probability(folds)
+    assert flat["b"] == pytest.approx(0.745)  # arithmetic clamps at .745
+    assert out["b"] > 0.9 > flat["b"]
