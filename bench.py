@@ -198,7 +198,37 @@ def _step_tflop(mcfg, text_len, cap_len, batch):
     return total / 1e12
 
 
+def _probe_devices(timeout_s: float):
+    """Backend init through the tunneled chip can hang indefinitely when
+    the tunnel is down (PJRT client creation blocks with no deadline).
+    Probe it on a daemon thread so a dead tunnel fails the bench fast and
+    loudly instead of hanging the driver."""
+    import sys
+    import threading
+
+    box = {}
+
+    def probe():
+        try:
+            box["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 - report any init failure
+            box["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" in box:
+        return box["devices"]
+    err = box.get("error", f"device init did not return in {timeout_s:.0f}s "
+                           "(tunnel down?)")
+    print(json.dumps({"metric": "memes_per_sec_per_chip", "value": None,
+                      "unit": "memes/sec/chip", "vs_baseline": None,
+                      "error": err}))
+    sys.exit(1)
+
+
 def main():
+    _probe_devices(float(os.environ.get("MPMC_BENCH_INIT_TIMEOUT_S", "300")))
     mcfg = ModelConfig()
     # The real 2C driver buckets this corpus to text 128 / caption 64
     # (bucket_seq_len over the train+dev manifests; multiples of 64).
