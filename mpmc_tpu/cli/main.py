@@ -72,6 +72,16 @@ def _cmd_baselines(args):
                 f"{args.out_dir}/{fam}_baseline_{sub}",
                 num_folds=args.ngram_fold_probs, run_id=fam, **ngram_kw)
             print(f"ngram fold probs: {len(paths)} TSVs under {args.out_dir}")
+        if args.ngram_cv:
+            from mpmc_tpu.baselines import run_ngram_cv
+            import numpy as np
+            f1s = run_ngram_cv(
+                args.train_file_path, args.dev_file_path,
+                f"{args.out_dir}/{fam}_cv_{sub}",
+                num_folds=args.ngram_cv, run_id=fam, **ngram_kw)
+            print(f"ngram-cv ({args.ngram_cv}-fold over train+dev): "
+                  f"mean macro-F1 {np.mean(f1s):.4f} "
+                  f"(folds {[round(f, 3) for f in f1s]})")
     if sub in ("2B", "2C") and not args.skip_features:
         from mpmc_tpu.baselines.extract_features import extract_features
         feats_dir = args.features_dir or os.path.join(args.out_dir,
@@ -575,6 +585,12 @@ def main(argv=None):
                    help="n-gram span for the TF-IDF vectorizer")
     p.add_argument("--ngram-max-features", type=int, default=5000,
                    help="TF-IDF vocabulary cap (reference: 5000)")
+    p.add_argument("--ngram-cv", type=int, default=0, metavar="K",
+                   help="also run the n-gram SVM under the 2A fold protocol "
+                        "(StratifiedKFold over train+dev, per-fold "
+                        "threshold-scanned val macro-F1) — directly "
+                        "comparable to the neural 2A driver's fold F1; "
+                        "char_wb 2-5 @ 10 folds scores mean 0.730")
     p.add_argument("--ngram-fold-probs", type=int, default=0, metavar="K",
                    help="emit K per-fold calibrated ngram probability TSVs "
                         "(neural-driver CV protocol; join them to neural "

@@ -15,7 +15,7 @@ from typing import Tuple
 
 import numpy as np
 
-from mpmc_tpu.io.scorer import binary_f1
+from mpmc_tpu.io.scorer import binary_f1, macro_f1
 
 
 def roc_curve(y_true: np.ndarray, y_score: np.ndarray
@@ -52,6 +52,20 @@ def threshold_scan(y_true: np.ndarray, y_prob: np.ndarray,
     with the strict ``prob > t`` rule (combine_preds.py:35-47)."""
     thresholds = np.linspace(0, 1, num)
     scores = [binary_f1(np.asarray(y_true), (np.asarray(y_prob) > t).astype(int))
+              for t in thresholds]
+    best = int(np.argmax(scores))
+    return float(thresholds[best]), float(scores[best])
+
+
+def macro_f1_threshold_scan(y_true: np.ndarray, y_prob: np.ndarray,
+                            num: int = 100) -> Tuple[float, float]:
+    """(best_threshold, best_macro_F1) over the same linspace — the
+    official-metric twin of :func:`threshold_scan`, used by the per-fold
+    eval protocol (``prob >= t`` to match the in-loop tester)."""
+    thresholds = np.linspace(0, 1, num)
+    y_true = np.asarray(y_true)
+    y_prob = np.asarray(y_prob)
+    scores = [macro_f1(y_true, (y_prob >= t).astype(int))
               for t in thresholds]
     best = int(np.argmax(scores))
     return float(thresholds[best]), float(scores[best])

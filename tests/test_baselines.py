@@ -140,3 +140,47 @@ def test_ngram_char_analyzer_plumbing(tmp_path):
     assert f1 == 1.0
     from mpmc_tpu.io.tsv import read_run_id
     assert read_run_id(str(tmp_path / "p.tsv")) == "ngram_char_wb"
+
+
+def test_ngram_cv_protocol(tmp_path):
+    """run_ngram_cv follows the 2A fold protocol: K folds over train+dev
+    combined, each val TSV covers exactly that fold's held-out rows, and
+    the per-fold F1 is threshold-scanned macro-F1 (perfect on separable
+    synthetic data)."""
+    import json as _json
+
+    import numpy as np
+
+    from mpmc_tpu.baselines import run_ngram_cv
+    from mpmc_tpu.cv.kfold import stratified_kfold
+    from mpmc_tpu.io.manifest import read_manifest
+    from mpmc_tpu.io.tsv import read_prob_predictions
+
+    def rows(n, off):
+        out = []
+        for k in range(n):
+            y = k % 2
+            stem = "xxqz" if y else "mmvr"
+            out.append({"id": f"d/x{off+k}.jpg",
+                        "text": f"w{off+k}{stem}{off+k}",
+                        "img_path": "", "class_label":
+                        "propaganda" if y else "not_propaganda"})
+        return out
+
+    (tmp_path / "tr.json").write_text(_json.dumps(rows(40, 0)))
+    (tmp_path / "dv.json").write_text(_json.dumps(rows(20, 100)))
+    tr, dv = str(tmp_path / "tr.json"), str(tmp_path / "dv.json")
+    f1s = run_ngram_cv(tr, dv, str(tmp_path / "cv"), num_folds=3,
+                       analyzer="char_wb", ngram_range=(2, 4),
+                       max_features=2000)
+    assert len(f1s) == 3 and all(f == 1.0 for f in f1s)
+    combined = read_manifest(tr).concat(read_manifest(dv))
+    ids = np.asarray(combined.ids, dtype=object)
+    folds = stratified_kfold(combined.labels, 3, seed=42)
+    seen = []
+    for k, (_, va) in enumerate(folds):
+        tsv_ids, _, probs = read_prob_predictions(
+            str(tmp_path / f"cv_val_fold_{k}.tsv"))
+        assert set(tsv_ids) == set(ids[va])  # exactly the held-out rows
+        seen += tsv_ids
+    assert len(seen) == len(set(seen)) == 60  # a partition, no overlap
