@@ -442,6 +442,13 @@ def _cmd_combine(args):
         folds.append(dict(zip(ids, probs)))
         run_ids.append(read_run_id(path))
     gold = read_gold(args.gold)
+    if args.per_member:
+        # Reference diagnostic: each member's own threshold-optimized F1
+        # before averaging (combine_preds.py:75-76).
+        for path, f in zip(args.files, folds):
+            _, thr, f1 = threshold_optimization(f, gold, metric=args.metric)
+            print(f"  member {path}: {args.metric}-F1 {f1:.4f} "
+                  f"(threshold {thr:.3f})")
     if args.group_by_run_id or args.scan_family_weight:
         families = group_average(folds, run_ids, space=args.average)
         print(f"families: { {g: run_ids.count(g) for g in families} }")
@@ -768,6 +775,10 @@ def main(argv=None):
     p.add_argument("--out", default=None)
     p.add_argument("--metric", choices=["binary", "macro"], default="binary",
                    help="threshold-scan objective (binary = reference parity)")
+    p.add_argument("--per-member", action="store_true",
+                   help="print each member TSV's own threshold-optimized "
+                        "F1 before averaging (reference diagnostic, "
+                        "combine_preds.py:75-76)")
     p.add_argument("--average", choices=["prob", "logit"], default="prob",
                    help="member-pooling space (prob = reference parity; "
                         "logit = geometric mean of odds, the standard "
