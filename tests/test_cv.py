@@ -170,3 +170,20 @@ def test_logit_average():
     flat = average_probability(folds)
     assert flat["b"] == pytest.approx(0.745)  # arithmetic clamps at .745
     assert out["b"] > 0.9 > flat["b"]
+
+
+def test_family_weight_scan_logit_space():
+    """Logit-space blending matches sigmoid(w*logit(a) + (1-w)*logit(b))
+    at the returned weight, and still recovers a perfect family."""
+    from mpmc_tpu.cv import family_weight_scan
+    ids = [f"f/x{i}.jpg" for i in range(30)]
+    gold = {i: ("propaganda" if k % 3 == 0 else "not_propaganda")
+            for k, i in enumerate(ids)}
+    good = {i: (0.95 if gold[i] == "propaganda" else 0.05) for i in ids}
+    noise = {i: 0.5 for i in ids}  # uninformative family
+    blend, w, f1 = family_weight_scan(good, noise, gold, space="logit")
+    assert f1 == pytest.approx(1.0)
+    lg = lambda p: np.log(p / (1 - p))
+    for i in ids[:5]:
+        expect = 1 / (1 + np.exp(-(w * lg(good[i]) + (1 - w) * lg(noise[i]))))
+        assert blend[i] == pytest.approx(expect, abs=1e-9)
