@@ -142,9 +142,9 @@ def run_ngram_fold_probs(train_path: str, dev_path: str, out_prefix: str,
 
     ``analyzer='char_wb'`` (range 2-5, 30000 features) emits the char-n-gram
     family instead — family-balancing it against the 40 neural fold TSVs in
-    ``combine --group-by-run-id`` reaches dev macro-F1 0.7301 (reference
-    shipped-fold ensemble under its own protocol: 0.7327), and
-    ``--scan-family-weight`` reaches 0.7424."""
+    ``combine --group-by-run-id --average logit`` reaches dev macro-F1
+    0.7332 (reference shipped-fold ensemble under its own protocol:
+    0.7327), and ``--scan-family-weight`` reaches 0.7467."""
     from sklearn.calibration import CalibratedClassifierCV
     from sklearn.pipeline import Pipeline
     from sklearn.svm import SVC
@@ -182,13 +182,14 @@ def run_ngram_cv(train_path: str, dev_path: str, out_prefix: str,
     """N-gram SVM under the 2A fold protocol: StratifiedKFold over
     **train+dev combined** (``textmodel_example_task2A.py:221-230``), fit
     the calibrated SVC on each fold's train rows, predict its held-out val
-    rows, and report the per-fold threshold-scanned macro-F1 — the same
-    protocol the neural 2A driver's reported fold F1 uses, so the numbers
-    compare directly.  Emits one val prob TSV per fold.
+    rows, and score each fold with the neural driver's **exact** rule —
+    Youden-optimal threshold, strict ``>`` (``train/loop.py:227-228``) —
+    so the numbers compare like-for-like.  Emits one val prob TSV per fold.
 
     With ``analyzer='char_wb'`` (2-5, 30000) this scores 10-fold mean
-    **0.730** — above the corpus-MLM neural 2A driver's 0.704 — making it
-    the strongest single 2A model in the repo with zero external weights.
+    **0.712** vs the corpus-MLM neural 2A driver's 0.704 (and 0.730 vs
+    0.707 under a direct macro-F1 threshold scan) — the strongest single
+    2A model in the repo with zero external weights.
 
     Returns the list of per-fold macro-F1 scores."""
     from sklearn.calibration import CalibratedClassifierCV
@@ -196,7 +197,8 @@ def run_ngram_cv(train_path: str, dev_path: str, out_prefix: str,
     from sklearn.svm import SVC
 
     from mpmc_tpu.cv.kfold import stratified_kfold
-    from mpmc_tpu.train.metrics import macro_f1_threshold_scan
+    from mpmc_tpu.io.scorer import macro_f1
+    from mpmc_tpu.train.metrics import optimal_threshold_youden
 
     train = read_manifest(train_path)
     dev = read_manifest(dev_path)
@@ -216,7 +218,8 @@ def run_ngram_cv(train_path: str, dev_path: str, out_prefix: str,
         ])
         pipe.fit(list(texts[tr_idx]), labels[tr_idx])
         probs = pipe.predict_proba(list(texts[va_idx]))[:, 1]
-        _, f1 = macro_f1_threshold_scan(labels[va_idx], probs)
+        thr = optimal_threshold_youden(labels[va_idx], probs)
+        f1 = macro_f1(labels[va_idx], (probs > thr).astype(int))
         f1s.append(f1)
         write_prob_tsv(f"{out_prefix}_val_fold_{k}.tsv", list(ids[va_idx]),
                        (probs > 0.5).astype(int), probs, run_id,

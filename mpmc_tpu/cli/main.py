@@ -53,13 +53,21 @@ def _cmd_baselines(args):
         args.train_file_path, args.dev_file_path,
         f"{args.out_dir}/random_baseline_{sub}.tsv", subtask=sub)
     if sub in ("2A", "2C"):
-        # Non-default analyzer → distinct artifact names and run_id so the
-        # family stays separable in `combine --group-by-run-id`.
+        # Non-default vectorizer config → distinct artifact names and
+        # run_id so each configuration is a separable family in
+        # `combine --group-by-run-id` and never overwrites the
+        # README-parity artifacts.
         ngram_kw = dict(analyzer=args.ngram_analyzer,
                         ngram_range=tuple(args.ngram_range),
                         max_features=args.ngram_max_features)
-        fam = ("ngram" if args.ngram_analyzer == "word"
-               else f"ngram_{args.ngram_analyzer}")
+        fam = "ngram"
+        if ngram_kw != dict(analyzer="word", ngram_range=(1, 1),
+                            max_features=5000):
+            fam += f"_{args.ngram_analyzer}"
+            if tuple(args.ngram_range) != (1, 1):
+                fam += f"_{args.ngram_range[0]}_{args.ngram_range[1]}"
+            if args.ngram_max_features != 5000:
+                fam += f"_{args.ngram_max_features}"
         results[fam] = run_ngram_baseline(
             args.train_file_path, args.dev_file_path,
             f"{args.out_dir}/{fam}_baseline_{sub}.tsv", run_id=fam,
@@ -594,10 +602,10 @@ def main(argv=None):
                    help="TF-IDF vocabulary cap (reference: 5000)")
     p.add_argument("--ngram-cv", type=int, default=0, metavar="K",
                    help="also run the n-gram SVM under the 2A fold protocol "
-                        "(StratifiedKFold over train+dev, per-fold "
-                        "threshold-scanned val macro-F1) — directly "
-                        "comparable to the neural 2A driver's fold F1; "
-                        "char_wb 2-5 @ 10 folds scores mean 0.730")
+                        "(StratifiedKFold over train+dev, per-fold val "
+                        "macro-F1 at the Youden threshold — the neural "
+                        "driver's exact scoring rule); char_wb 2-5 @ 10 "
+                        "folds scores mean 0.712 vs the neural 0.704")
     p.add_argument("--ngram-fold-probs", type=int, default=0, metavar="K",
                    help="emit K per-fold calibrated ngram probability TSVs "
                         "(neural-driver CV protocol; join them to neural "

@@ -17,9 +17,18 @@ from typing import Dict, Sequence, Tuple
 
 import numpy as np
 
-from mpmc_tpu.train.metrics import threshold_scan
+from mpmc_tpu.train.metrics import macro_f1_threshold_scan, threshold_scan
 
 FoldPreds = Dict[str, float]  # id -> propaganda probability
+
+
+def _logit(p: float) -> float:
+    p = min(max(p, 1e-6), 1 - 1e-6)
+    return float(np.log(p / (1 - p)))
+
+
+def _sigmoid(x: float) -> float:
+    return float(1 / (1 + np.exp(-x)))
 
 
 def majority_voting(folds: Sequence[FoldPreds]) -> Dict[str, str]:
@@ -46,10 +55,7 @@ def average_probability(folds: Sequence[FoldPreds],
     arithmetic mean.  +0.3 macro-F1 on the 2C family ensemble."""
     ids = list(folds[0].keys())
     if space == "logit":
-        def lg(p):
-            p = min(max(p, 1e-6), 1 - 1e-6)
-            return np.log(p / (1 - p))
-        return {i: float(1 / (1 + np.exp(-np.mean([lg(f[i]) for f in folds]))))
+        return {i: _sigmoid(float(np.mean([_logit(f[i]) for f in folds])))
                 for i in ids}
     return {i: float(np.mean([f[i] for f in folds])) for i in ids}
 
@@ -80,18 +86,20 @@ def family_weight_scan(a: FoldPreds, b: FoldPreds, gold: Dict[str, str],
     (combine_preds.py:34-47) — the threshold is re-fit per candidate
     weight so the pair is jointly optimal.  ``space='logit'`` blends
     log-odds (matching logit-averaged family inputs)."""
+    if set(a) != set(b):
+        only_a, only_b = set(a) - set(b), set(b) - set(a)
+        raise ValueError(
+            "family id sets differ — the members were predicted on "
+            f"different manifests ({len(only_a)} ids only in the first "
+            f"family, {len(only_b)} only in the second)")
     ids = list(a.keys())
 
     if space == "logit":
-        def lg(p):
-            p = min(max(p, 1e-6), 1 - 1e-6)
-            return float(np.log(p / (1 - p)))
-        la = {i: lg(a[i]) for i in ids}
-        lb = {i: lg(b[i]) for i in ids}
+        la = {i: _logit(a[i]) for i in ids}
+        lb = {i: _logit(b[i]) for i in ids}
 
         def blend_at(w):
-            return {i: float(1 / (1 + np.exp(-(w * la[i] + (1 - w) * lb[i]))))
-                    for i in ids}
+            return {i: _sigmoid(w * la[i] + (1 - w) * lb[i]) for i in ids}
     else:
         def blend_at(w):
             return {i: float(w * a[i] + (1 - w) * b[i]) for i in ids}
@@ -115,17 +123,13 @@ def threshold_optimization(preds: FoldPreds, gold: Dict[str, str],
     when fold probabilities are weak.  ``metric='macro'`` optimizes the
     official task metric instead.
     """
-    from mpmc_tpu.io.scorer import macro_f1
     ids = list(preds.keys())
     y_true = np.array([1 if gold[i] == "propaganda" else 0 for i in ids])
     y_prob = np.array([preds[i] for i in ids])
     if metric == "binary":
         thr, f1 = threshold_scan(y_true, y_prob, num)
     else:
-        ts = np.linspace(0, 1, num)
-        scores = [macro_f1(y_true, (y_prob > t).astype(int)) for t in ts]
-        best = int(np.argmax(scores))
-        thr, f1 = float(ts[best]), float(scores[best])
+        thr, f1 = macro_f1_threshold_scan(y_true, y_prob, num)
     labels = {i: ("propaganda" if preds[i] > thr else "not_propaganda")
               for i in ids}
     return labels, thr, f1

@@ -96,10 +96,10 @@ def read_run_id(path: str) -> str:
     """Run-id of a prediction TSV (last column of the first data row) —
     the model-family key used by ``combine --group-by-run-id``."""
     with open(path, encoding="utf-8") as f:
-        next(f)
-        for line in f:
-            if line.strip():
-                return line.rstrip("\n").split("\t")[-1].strip()
+        if next(f, None) is not None:
+            for line in f:
+                if line.strip():
+                    return line.rstrip("\n").split("\t")[-1].strip()
     raise ValueError(f"no data rows in {path}")
 
 

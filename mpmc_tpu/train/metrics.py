@@ -59,13 +59,13 @@ def threshold_scan(y_true: np.ndarray, y_prob: np.ndarray,
 
 def macro_f1_threshold_scan(y_true: np.ndarray, y_prob: np.ndarray,
                             num: int = 100) -> Tuple[float, float]:
-    """(best_threshold, best_macro_F1) over the same linspace — the
-    official-metric twin of :func:`threshold_scan`, used by the per-fold
-    eval protocol (``prob >= t`` to match the in-loop tester)."""
+    """(best_threshold, best_macro_F1) over the same linspace with the same
+    strict ``prob > t`` rule — the official-metric twin of
+    :func:`threshold_scan`, backing ``combine --metric macro``."""
     thresholds = np.linspace(0, 1, num)
     y_true = np.asarray(y_true)
     y_prob = np.asarray(y_prob)
-    scores = [macro_f1(y_true, (y_prob >= t).astype(int))
+    scores = [macro_f1(y_true, (y_prob > t).astype(int))
               for t in thresholds]
     best = int(np.argmax(scores))
     return float(thresholds[best]), float(scores[best])

@@ -173,7 +173,10 @@ def test_ngram_cv_protocol(tmp_path):
     f1s = run_ngram_cv(tr, dv, str(tmp_path / "cv"), num_folds=3,
                        analyzer="char_wb", ngram_range=(2, 4),
                        max_features=2000)
-    assert len(f1s) == 3 and all(f == 1.0 for f in f1s)
+    # scored with the neural driver's rule (Youden threshold + strict '>',
+    # train/loop.py:227-228): the sample AT the threshold is excluded, so
+    # even perfectly separable folds land just under 1.0
+    assert len(f1s) == 3 and all(f > 0.9 for f in f1s)
     combined = read_manifest(tr).concat(read_manifest(dv))
     ids = np.asarray(combined.ids, dtype=object)
     folds = stratified_kfold(combined.labels, 3, seed=42)

@@ -136,10 +136,11 @@ def test_family_balanced_ensemble_beats_flat_on_real_folds(fold_preds):
     import glob
     import os
     from mpmc_tpu.cv import group_average
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     neural = sorted(glob.glob(
-        "/root/repo/runs/ens/s4?/task2C_*_probs_fold_*.tsv"))
+        os.path.join(repo, "runs/ens/s4?/task2C_*_probs_fold_*.tsv")))
     char = sorted(glob.glob(
-        "/root/repo/runs/ens/chargram/ngram_char_wb_*_probs_fold_*.tsv"))
+        os.path.join(repo, "runs/ens/chargram/ngram_char_wb_*_probs_fold_*.tsv")))
     if len(neural) != 40 or len(char) != 5:
         pytest.skip("shipped ensemble artifacts not present")
     from mpmc_tpu.io.tsv import read_run_id
