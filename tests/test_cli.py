@@ -231,3 +231,38 @@ def test_cli_combine_scan_family_weight(tmp_path, capsys):
     write_prob_tsv(gc, m.ids, y, np.where(y == 1, 0.8, 0.2), "fam_c")
     assert main(["combine", "--files", ga, gb, gc, "--gold", DEV,
                  "--metric", "macro", "--scan-family-weight"]) == 1
+
+
+def test_cli_baselines_ngram_config_naming(tmp_path):
+    """Non-default vectorizer configs get config-encoded artifact names and
+    run_ids (never overwriting the README-parity word-unigram artifacts),
+    and the emitted fold TSVs carry that run_id for family grouping."""
+    import json as _json
+    import os
+
+    def rows(n, off):
+        out = []
+        for k in range(n):
+            y = k % 2
+            stem = "xxqz" if y else "mmvr"
+            out.append({"id": f"d/x{off+k}.jpg",
+                        "text": f"w{off+k}{stem}{off+k}",
+                        "img_path": "", "class_label":
+                        "propaganda" if y else "not_propaganda"})
+        return out
+
+    (tmp_path / "tr.json").write_text(_json.dumps(rows(40, 0)))
+    (tmp_path / "dv.json").write_text(_json.dumps(rows(20, 100)))
+    assert main(["baselines", "--subtask", "2a",
+                 "-tr", str(tmp_path / "tr.json"),
+                 "-te", str(tmp_path / "dv.json"), "-o", str(tmp_path),
+                 "--ngram-analyzer", "char_wb", "--ngram-range", "2", "4",
+                 "--ngram-max-features", "2000",
+                 "--ngram-fold-probs", "2"]) == 0
+    fam = "ngram_char_wb_2_4_2000"
+    assert os.path.exists(tmp_path / f"{fam}_baseline_2A.tsv")
+    assert not os.path.exists(tmp_path / "ngram_baseline_2A.tsv")
+    from mpmc_tpu.io.tsv import read_run_id
+    for k in range(2):
+        assert read_run_id(
+            str(tmp_path / f"{fam}_baseline_2A_probs_fold_{k}.tsv")) == fam
