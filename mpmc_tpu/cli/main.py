@@ -489,6 +489,25 @@ def _cmd_combine(args):
     return 0
 
 
+def _cmd_analyze(args):
+    """Error-analysis report (reference C29 — ``analysis/analyze.ipynb``):
+    per-class P/R/F1 + confusion, and the most frequent normalized words
+    among misclassified samples."""
+    import json as _json
+    from mpmc_tpu.analysis import (misclassified, per_class_report,
+                                   word_frequencies)
+
+    rep = per_class_report(args.pred_file_path, args.gold_file_path)
+    print(_json.dumps(rep, indent=2, default=float))
+    mis = misclassified(args.pred_file_path, args.gold_file_path)
+    print(f"misclassified: {len(mis)}/{rep['n']}")
+    if args.top_words:
+        print("top words among misclassified (normalized):")
+        for word, count in word_frequencies(mis, top_k=args.top_words):
+            print(f"  {count:4d}  {word}")
+    return 0
+
+
 def _cmd_smoke(args):
     """Tiny end-to-end 2C run on synthetic data; asserts learning happens."""
     import numpy as np
@@ -802,6 +821,14 @@ def main(argv=None):
                         "the gold labels (one extra gold-fit scalar beside "
                         "the reference's own gold-fit threshold)")
     p.set_defaults(fn=_cmd_combine)
+
+    p = sub.add_parser("analyze")
+    p.add_argument("--gold-file-path", "-g", required=True)
+    p.add_argument("--pred-file-path", "-p", required=True)
+    p.add_argument("--top-words", type=int, default=15,
+                   help="show the N most frequent normalized words among "
+                        "misclassified samples (0 disables)")
+    p.set_defaults(fn=_cmd_analyze)
 
     p = sub.add_parser("smoke")
     p.set_defaults(fn=_cmd_smoke)

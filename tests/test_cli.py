@@ -266,3 +266,14 @@ def test_cli_baselines_ngram_config_naming(tmp_path):
     for k in range(2):
         assert read_run_id(
             str(tmp_path / f"{fam}_baseline_2A_probs_fold_{k}.tsv")) == fam
+
+
+def test_cli_analyze(tmp_path, capsys):
+    m = read_manifest(DEV)
+    p = str(tmp_path / "pred.tsv")
+    write_label_tsv(p, m.ids, np.zeros(len(m), int), "analyze-test")
+    assert main(["analyze", "-g", DEV, "-p", p, "--top-words", "3"]) == 0
+    out = capsys.readouterr().out
+    assert '"macro_f1": 0.417910447761194' in out  # majority predictions
+    assert "misclassified: 88/312" in out  # the 88 propaganda dev rows
+    assert "top words among misclassified" in out
