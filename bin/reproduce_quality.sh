@@ -1,0 +1,55 @@
+#!/usr/bin/env bash
+# Reproduce the round-3 headline quality numbers on CPU in ~5 minutes.
+#
+# Uses the shipped neural fold TSVs (runs/ens/s42..s49 — 8 seeds x 5 folds,
+# trained on the real TPU with corpus-MLM init, zero external weights) and
+# refits the classic members from the raw manifests.  Every score is
+# validated through the reference scorer (/root/reference/scorer/task2.py
+# runs unmodified on our TSVs; our numpy scorer is float-exact to it).
+#
+# Expected output (dev macro-F1, reference scorer):
+#   ngram word (README row)                     0.579
+#   ngram char_wb single model                  0.683
+#   family-balanced neural(40) + char(5), logit 0.7332   <- no gold-fit
+#                                                           scalar beyond the
+#                                                           shared threshold
+#   + --scan-family-weight                      0.7467
+#   reference shipped ensemble (own protocol)   0.7327
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+TRAIN=/root/reference/data/arabic_memes_propaganda_araieval_24_train.json
+DEV=/root/reference/data/arabic_memes_propaganda_araieval_24_dev.json
+OUT=${1:-/tmp/mpmc_quality_repro}
+mkdir -p "$OUT"
+
+echo "== classic members (word parity row + char_wb family) =="
+python -m mpmc_tpu.cli.main baselines --subtask 2c --skip-features \
+  -tr "$TRAIN" -te "$DEV" -o "$OUT"
+python -m mpmc_tpu.cli.main baselines --subtask 2c --skip-features \
+  --ngram-analyzer char_wb --ngram-range 2 5 --ngram-max-features 30000 \
+  --ngram-fold-probs 5 -tr "$TRAIN" -te "$DEV" -o "$OUT"
+
+echo "== family-balanced ensemble (no gold-fit scalar beyond threshold) =="
+python -m mpmc_tpu.cli.main combine --group-by-run-id --average logit \
+  --metric macro --gold "$DEV" --out "$OUT/ensemble_fam_logit.tsv" \
+  --files runs/ens/s4?/task2C_*_probs_fold_*.tsv \
+          "$OUT"/ngram_char_wb_*_probs_fold_*.tsv
+
+echo "== + gold-fit family weight scan =="
+python -m mpmc_tpu.cli.main combine --scan-family-weight --average logit \
+  --metric macro --gold "$DEV" --out "$OUT/ensemble_fam_logit_scan.tsv" \
+  --files runs/ens/s4?/task2C_*_probs_fold_*.tsv \
+          "$OUT"/ngram_char_wb_*_probs_fold_*.tsv
+
+echo "== reference shipped ensemble under its own protocol, for context =="
+python -m mpmc_tpu.cli.main combine --metric binary --gold "$DEV" \
+  --out "$OUT/ref_ensemble.tsv" \
+  --files /root/reference/task2C_kevinmathew_probs_fold_*.tsv
+
+echo "== all three through the OFFICIAL reference scorer =="
+for f in ensemble_fam_logit ensemble_fam_logit_scan ref_ensemble; do
+  (cd /root/reference && python scorer/task2.py \
+    -g data/arabic_memes_propaganda_araieval_24_dev.json \
+    -p "$OUT/$f.tsv" 2>/dev/null | tail -1 | sed "s|^|$f: |")
+done
