@@ -302,12 +302,13 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
     # `put` so the sharded H2D copy overlaps the previous step's compute.
     put, put_stacked, place_state = (lambda b: b), None, (lambda s: s)
     place_data = None
-    if cfg.mesh.num_fold_shards <= 1 and cfg.mesh.num_data_shards > 1:
+    if cfg.mesh.num_fold_shards <= 1 and (cfg.mesh.num_data_shards > 1
+                                          or cfg.mesh.num_model_shards > 1):
         import jax
         from mpmc_tpu.parallel.mesh import (batch_sharding, make_mesh,
                                             replicated_sharding,
                                             stacked_batch_sharding)
-        if cfg.data.batch_size % cfg.mesh.num_data_shards:
+        if cfg.data.batch_size % max(cfg.mesh.num_data_shards, 1):
             raise ValueError(
                 f"batch_size={cfg.data.batch_size} not divisible by "
                 f"num_data_shards={cfg.mesh.num_data_shards}")
@@ -319,7 +320,17 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
             lambda x: jax.device_put(x, bsh), b)
         put_stacked = lambda b: jax.tree_util.tree_map(  # noqa: E731
             lambda x: jax.device_put(x, ssh), b)
-        place_state = lambda s: jax.device_put(s, repl)  # noqa: E731
+        if cfg.mesh.num_model_shards > 1:
+            # Megatron-style TP over the trailing `model` axis
+            # (parallel/tp.py); the Pallas attention kernel is an opaque
+            # custom call the partitioner can't split → XLA einsum path.
+            from mpmc_tpu.parallel.tp import (maybe_force_xla_attention,
+                                              shard_state)
+            maybe_force_xla_attention(cfg.mesh.num_model_shards)
+            place_state = lambda s: shard_state(  # noqa: E731
+                s, dp_mesh, cfg.mesh.model_axis)
+        else:
+            place_state = lambda s: jax.device_put(s, repl)  # noqa: E731
         # Device-resident datasets replicate across the DP mesh; the jitted
         # row-gather then propagates the (sharded) idx onto the batch.
         place_data = lambda t: jax.device_put(t, repl)  # noqa: E731

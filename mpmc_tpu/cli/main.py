@@ -184,6 +184,7 @@ def _cmd_train(args):
                     model.image, finetune_dim=model.proj_dim))
     mesh = MeshConfig(num_fold_shards=args.fold_shards,
                       num_data_shards=args.data_shards,
+                      num_model_shards=args.model_shards,
                       fold_parallel=args.fold_parallel)
     # C21 hyperparameter fidelity: the 2A flagship trains with
     # ``scheduler = None`` (textmodel_example_task2A.py:574-576), so 2A
@@ -746,6 +747,13 @@ def main(argv=None):
                         "instead of placeholder strings")
     p.add_argument("--data-shards", type=int, default=1,
                    help=">1 shards each batch over a `data` mesh axis (DP)")
+    p.add_argument("--model-shards", type=int, default=1,
+                   help=">1 adds a trailing `model` mesh axis and shards "
+                        "the transformer weights Megatron-style (QKV/MLP-in "
+                        "column-split, out/MLP-out row-split; XLA inserts "
+                        "the per-layer all-reduces over ICI). For encoders "
+                        "too large for one chip; mutually exclusive with "
+                        "--fold-shards/--fold-parallel")
     p.add_argument("--fold-shards", type=int, default=1,
                    help=">1 trains all folds simultaneously, sharding the "
                         "stacked fold axis over this many devices (must "

@@ -305,6 +305,17 @@ class MeshConfig:
     # the optimizer pass and dispatch overheads across folds.
     # ``num_fold_shards > 1`` implies it.
     fold_parallel: bool = False
+    # >1 adds a trailing `model` mesh axis and shards the transformer
+    # weights Megatron-style (parallel/tp.py): QKV + MLP-in kernels
+    # column-split, attention-out + MLP-out kernels row-split, XLA
+    # inserting the two all-reduces per layer over ICI.  At these model
+    # sizes (110-135M params) DP alone is usually the right layout
+    # (SURVEY.md §2.3) — TP exists for larger drop-in encoders and is
+    # validated on the virtual mesh by the multichip dryrun.  Mutually
+    # exclusive with fold-parallel (stacked-weights folds already consume
+    # the non-data axis).
+    num_model_shards: int = 1
+    model_axis: str = "model"
 
     @property
     def is_fold_parallel(self) -> bool:
@@ -313,6 +324,8 @@ class MeshConfig:
     def axis_names(self) -> Tuple[str, ...]:
         if self.is_fold_parallel:
             return (self.fold_axis, self.data_axis)
+        if self.num_model_shards > 1:
+            return (self.data_axis, self.model_axis)
         return (self.data_axis,)
 
 

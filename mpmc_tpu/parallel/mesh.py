@@ -30,11 +30,24 @@ def make_mesh(cfg: Optional[MeshConfig] = None,
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if cfg.is_fold_parallel:
+        if cfg.num_model_shards > 1:
+            raise ValueError("fold-parallel and tensor-parallel are "
+                             "mutually exclusive (MeshConfig)")
         if n % cfg.num_fold_shards:
             raise ValueError(
                 f"{n} devices not divisible by {cfg.num_fold_shards} folds")
         shape = (cfg.num_fold_shards, n // cfg.num_fold_shards)
         return Mesh(np.asarray(devices).reshape(shape), cfg.axis_names())
+    if cfg.num_model_shards > 1:
+        # (data, model): the model axis is innermost so TP's two per-layer
+        # all-reduces ride the fastest (adjacent-chip ICI) dimension.
+        dp = max(cfg.num_data_shards, 1)
+        need = dp * cfg.num_model_shards
+        if n < need:
+            raise ValueError(f"{n} devices < data x model = {need}")
+        shape = (dp, cfg.num_model_shards)
+        return Mesh(np.asarray(devices[:need]).reshape(shape),
+                    cfg.axis_names())
     if cfg.num_data_shards > 1:
         if n < cfg.num_data_shards:
             raise ValueError(
