@@ -156,3 +156,20 @@ def test_tp_driver_end_to_end(tmp_path):
                      [f"d/x_{i}.jpg" for i in range(n)], None, None,
                      str(tmp_path), "task2X", folds=[0])
     assert res.fold_results[0].best_macro_f1 > 0.8
+
+
+def test_tp_checkpoint_restores_unsharded(tmp_path):
+    """A checkpoint saved from a TP-sharded TrainState restores into an
+    unsharded template byte-equal (orbax resolves shardings on read), so
+    predict can always consume TP-trained checkpoints."""
+    from mpmc_tpu.train.checkpoint import Checkpointer
+    _, state, _, _ = _text_setup(np.random.default_rng(4))
+    mesh = make_mesh(MeshConfig(num_data_shards=4, num_model_shards=2))
+    tp_state = shard_state(state, mesh)
+    cp = Checkpointer(str(tmp_path))
+    cp.save(tp_state, 1)
+    cp.wait()
+    restored = cp.restore_latest(state)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
