@@ -20,6 +20,7 @@ attention/out/kernel                 [H,dh,D]   (model, None, None)
 intermediate/kernel                  [D,F]      (None, model)
 intermediate/bias                    [F]        (model,)
 output/kernel (layer MLP out)        [F,D]      (model, None)
+word_embeddings/embedding            [V,D]      (model, None)
 everything else                      any        replicated
 ===================================  =========  ====================
 
@@ -51,6 +52,11 @@ _TP_RULES = (
     (re.compile(r"intermediate/kernel$"), lambda ax: P(None, ax)),
     (re.compile(r"intermediate/bias$"), lambda ax: P(ax)),
     (re.compile(r"output/kernel$"), lambda ax: P(ax, None)),
+    # Vocab-parallel word embeddings: the tables are the largest tensors in
+    # the flagship (AraBERT 64k + RoBERTa 50k vocab ≈ 124M of 275M params);
+    # sharding the vocab dim cuts per-chip HBM by that term and XLA
+    # partitions the lookup (masked local take + all-reduce) itself.
+    (re.compile(r"word_embeddings/embedding$"), lambda ax: P(ax, None)),
 )
 
 

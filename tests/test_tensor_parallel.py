@@ -67,7 +67,8 @@ def test_spec_rules_match_bert_paths():
     assert by_path[f"{enc}/intermediate/kernel"].sharding.spec == \
         P(None, "model")
     assert by_path[f"{enc}/output/kernel"].sharding.spec == P("model", None)
-    assert by_path["encoder/word_embeddings/embedding"].sharding.spec == P()
+    assert by_path["encoder/word_embeddings/embedding"].sharding.spec == \
+        P("model", None)  # vocab-parallel: the largest tensors in the model
     assert by_path[f"{enc}/attention_ln/scale"].sharding.spec == P()
     # optimizer state mirrors the params → sharded too
     assert count_sharded(tp_state.params) >= 4 * 2 * 2  # 4 rules x 2 layers
