@@ -308,11 +308,14 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
         from mpmc_tpu.parallel.mesh import (batch_sharding, make_mesh,
                                             replicated_sharding,
                                             stacked_batch_sharding)
-        if cfg.data.batch_size % max(cfg.mesh.num_data_shards, 1):
-            raise ValueError(
-                f"batch_size={cfg.data.batch_size} not divisible by "
-                f"num_data_shards={cfg.mesh.num_data_shards}")
         dp_mesh = make_mesh(cfg.mesh)
+        # The actual data extent may exceed num_data_shards under TP
+        # (unspecified dp → whole machine, parallel/mesh.py).
+        dp_extent = dp_mesh.shape[cfg.mesh.data_axis]
+        if cfg.data.batch_size % dp_extent:
+            raise ValueError(
+                f"batch_size={cfg.data.batch_size} not divisible by the "
+                f"data-axis extent {dp_extent}")
         bsh = batch_sharding(dp_mesh, cfg.mesh.data_axis)
         ssh = stacked_batch_sharding(dp_mesh, cfg.mesh.data_axis)
         repl = replicated_sharding(dp_mesh)
@@ -324,11 +327,21 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
             # Megatron-style TP over the trailing `model` axis
             # (parallel/tp.py); the Pallas attention kernel is an opaque
             # custom call the partitioner can't split → XLA einsum path.
-            from mpmc_tpu.parallel.tp import (maybe_force_xla_attention,
+            from mpmc_tpu.parallel.tp import (count_sharded,
+                                              maybe_force_xla_attention,
                                               shard_state)
             maybe_force_xla_attention(cfg.mesh.num_model_shards)
-            place_state = lambda s: shard_state(  # noqa: E731
-                s, dp_mesh, cfg.mesh.model_axis)
+
+            def place_state(s):
+                s = shard_state(s, dp_mesh, cfg.mesh.model_axis)
+                if count_sharded(s.params, cfg.mesh.model_axis) == 0:
+                    log.warning(
+                        "--model-shards %d matched no weights for this "
+                        "model family (rules target the BERT encoder, "
+                        "parallel/tp.py) — training proceeds fully "
+                        "replicated over the model axis",
+                        cfg.mesh.num_model_shards)
+                return s
         else:
             place_state = lambda s: jax.device_put(s, repl)  # noqa: E731
         # Device-resident datasets replicate across the DP mesh; the jitted

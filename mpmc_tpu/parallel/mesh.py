@@ -41,7 +41,16 @@ def make_mesh(cfg: Optional[MeshConfig] = None,
     if cfg.num_model_shards > 1:
         # (data, model): the model axis is innermost so TP's two per-layer
         # all-reduces ride the fastest (adjacent-chip ICI) dimension.
-        dp = max(cfg.num_data_shards, 1)
+        # num_data_shards <= 1 means "unspecified" → use the whole machine
+        # rather than stranding devices beyond 1 x model.
+        if cfg.num_data_shards > 1:
+            dp = cfg.num_data_shards
+        else:
+            if n % cfg.num_model_shards:
+                raise ValueError(
+                    f"{n} devices not divisible by "
+                    f"num_model_shards={cfg.num_model_shards}")
+            dp = n // cfg.num_model_shards
         need = dp * cfg.num_model_shards
         if n < need:
             raise ValueError(f"{n} devices < data x model = {need}")

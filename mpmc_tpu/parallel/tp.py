@@ -24,10 +24,13 @@ word_embeddings/embedding            [V,D]      (model, None)
 everything else                      any        replicated
 ===================================  =========  ====================
 
-Heads (H) and the MLP hidden (F) must divide `num_model_shards`.  With the
-head axis sharded, attention must run the XLA implementation (the Pallas
-kernel is an opaque custom call the partitioner cannot split) — the driver
-sets `ops.attention.set_default_impl("xla")` when TP is active.
+`num_model_shards` must divide the sharded dimension (heads H, MLP hidden
+F, vocab V); a leaf where it doesn't — or whose rank doesn't match the
+rule — replicates with a warning instead of erroring, so correctness never
+depends on a rule applying.  With the head axis sharded, attention must
+run the XLA implementation (the Pallas kernel is an opaque custom call the
+partitioner cannot split) — the driver sets
+`ops.attention.set_default_impl("xla")` when TP is active.
 """
 
 from __future__ import annotations
@@ -38,6 +41,8 @@ from typing import Optional
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mpmc_tpu.utils.tree import path_str as _path_str
 
 log = logging.getLogger(__name__)
 
@@ -51,25 +56,16 @@ _TP_RULES = (
     (re.compile(r"attention/out/kernel$"), lambda ax: P(ax, None, None)),
     (re.compile(r"intermediate/kernel$"), lambda ax: P(None, ax)),
     (re.compile(r"intermediate/bias$"), lambda ax: P(ax)),
-    (re.compile(r"output/kernel$"), lambda ax: P(ax, None)),
+    # Anchored to encoder layers: bare Dense heads named "output"
+    # (models/classifier.py) are tiny and must NOT pick up a row-shard +
+    # per-step all-reduce.
+    (re.compile(r"layer_\d+/output/kernel$"), lambda ax: P(ax, None)),
     # Vocab-parallel word embeddings: the tables are the largest tensors in
     # the flagship (AraBERT 64k + RoBERTa 50k vocab ≈ 124M of 275M params);
     # sharding the vocab dim cuts per-chip HBM by that term and XLA
     # partitions the lookup (masked local take + all-reduce) itself.
     (re.compile(r"word_embeddings/embedding$"), lambda ax: P(ax, None)),
 )
-
-
-def _path_str(path) -> str:
-    parts = []
-    for k in path:
-        name = getattr(k, "key", None)
-        if name is None:
-            name = getattr(k, "name", None)
-        if name is None:
-            name = getattr(k, "idx", None)
-        parts.append(str(name))
-    return "/".join(parts)
 
 
 def spec_for_path(path, model_axis: str = "model") -> P:
@@ -96,16 +92,22 @@ def shard_state(state, mesh: Mesh, model_axis: str = "model"):
     def place(path, x):
         spec = spec_for_path(path, model_axis)
         if spec != P():
-            for dim, name in enumerate(spec):
-                if name is not None and (
-                        getattr(x, "ndim", 0) <= dim
-                        or x.shape[dim] % axis_size):
-                    log.warning(
-                        "tp: %s shape %s not divisible by %s=%d — "
-                        "replicating", _path_str(path),
-                        getattr(x, "shape", ()), model_axis, axis_size)
-                    spec = P()
-                    break
+            if getattr(x, "ndim", 0) < len(spec):
+                # A lower-rank leaf at a matching path — e.g. factored-RMS
+                # v_row/v_col accumulators [H]/[V] under
+                # word_embeddings/embedding.  Expected; replicate quietly.
+                log.debug("tp: %s rank %d < rule rank %d — replicating",
+                          _path_str(path), getattr(x, "ndim", 0), len(spec))
+                spec = P()
+            else:
+                for dim, name in enumerate(spec):
+                    if name is not None and x.shape[dim] % axis_size:
+                        log.warning(
+                            "tp: %s shape %s not divisible by %s=%d — "
+                            "replicating", _path_str(path),
+                            getattr(x, "shape", ()), model_axis, axis_size)
+                        spec = P()
+                        break
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, state)

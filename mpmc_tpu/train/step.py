@@ -27,6 +27,7 @@ from flax import struct
 
 from mpmc_tpu.config import LossType, TrainConfig
 from mpmc_tpu.ops.losses import sigmoid_focal_loss, softmax_cross_entropy
+from mpmc_tpu.utils.tree import path_str
 
 
 class TrainState(struct.PyTreeNode):
@@ -56,7 +57,7 @@ def _param_group(path: Tuple) -> str:
     """Reference ``get_params`` grouping (:645-664): any parameter whose path
     mentions text_model/caption_text_model/image_model gets the 0.8× encoder
     LR; fusion + heads get the base LR."""
-    joined = "/".join(str(getattr(k, "key", k)) for k in path)
+    joined = path_str(path)
     if "text_model" in joined or "image_model" in joined:
         return "encoder"
     return "head"
@@ -96,7 +97,7 @@ def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransfor
             optax.scale_by_learning_rate(enc_sched))
 
     def _label(path):
-        joined = "/".join(str(getattr(k, "key", k)) for k in path)
+        joined = path_str(path)
         if factored_embed and "word_embeddings" in joined:
             return "embed"
         return _param_group(path)

@@ -70,6 +70,9 @@ def test_spec_rules_match_bert_paths():
     assert by_path["encoder/word_embeddings/embedding"].sharding.spec == \
         P("model", None)  # vocab-parallel: the largest tensors in the model
     assert by_path[f"{enc}/attention_ln/scale"].sharding.spec == P()
+    # the bare classification head named "output" is NOT an encoder MLP-out:
+    # it must replicate (anchored layer_\d+ rule), no per-step all-reduce
+    assert by_path["output/kernel"].sharding.spec == P()
     # optimizer state mirrors the params → sharded too
     assert count_sharded(tp_state.params) >= 4 * 2 * 2  # 4 rules x 2 layers
     assert count_sharded(tp_state.opt_state) >= count_sharded(
@@ -112,6 +115,29 @@ def test_tp_mesh_validation():
         make_mesh(MeshConfig(num_data_shards=8, num_model_shards=2))
     mesh = make_mesh(MeshConfig(num_data_shards=2, num_model_shards=2))
     assert dict(mesh.shape) == {"data": 2, "model": 2}
+    # unspecified dp → the whole machine, not a stranded 1 x model corner
+    mesh = make_mesh(MeshConfig(num_model_shards=2))
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+
+def test_tp_factored_optimizer_state_replicates():
+    """Factored-RMS embedding accumulators (v_row [H] / v_col [V]) live at
+    paths matching the embedding rule but at lower rank — they must
+    replicate, not crash device_put (regression: --model-shards with
+    --embedding-optimizer factored)."""
+    mesh = make_mesh(MeshConfig(num_data_shards=4, num_model_shards=2))
+    rng = np.random.default_rng(5)
+    mcfg = dc.replace(ModelConfig.tiny_2c(), num_classes=2)
+    cfg = TrainConfig(model=mcfg, data=DataConfig(batch_size=8),
+                      loss=LossType.CROSS_ENTROPY,
+                      embedding_optimizer="factored")
+    model = TextClassifier(mcfg)
+    ids = rng.integers(5, mcfg.text.vocab_size, (1, 16)).astype(np.int32)
+    variables = model.init(jax.random.PRNGKey(0), ids, np.ones_like(ids))
+    tx = make_optimizer(cfg, total_steps=10)
+    state, _ = create_train_state(variables, tx)
+    tp_state = shard_state(state, mesh)  # must not raise
+    assert count_sharded(tp_state.params) > 0
 
 
 def test_tp_indivisible_leaf_replicates():
