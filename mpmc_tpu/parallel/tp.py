@@ -65,6 +65,14 @@ _TP_RULES = (
     # sharding the vocab dim cuts per-chip HBM by that term and XLA
     # partitions the lookup (masked local take + all-reduce) itself.
     (re.compile(r"word_embeddings/embedding$"), lambda ax: P(ax, None)),
+    # ViT family (models/vit.py): q/k/v [D,H,dh], out [H,dh,D],
+    # mlp1 [D,F], mlp2 [F,D] inside layer_N blocks.
+    (re.compile(r"layer_\d+/(q|k|v)/kernel$"), lambda ax: P(None, ax, None)),
+    (re.compile(r"layer_\d+/(q|k|v)/bias$"), lambda ax: P(ax, None)),
+    (re.compile(r"layer_\d+/out/kernel$"), lambda ax: P(ax, None, None)),
+    (re.compile(r"layer_\d+/mlp1/kernel$"), lambda ax: P(None, ax)),
+    (re.compile(r"layer_\d+/mlp1/bias$"), lambda ax: P(ax)),
+    (re.compile(r"layer_\d+/mlp2/kernel$"), lambda ax: P(ax, None)),
 )
 
 

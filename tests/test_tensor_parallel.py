@@ -200,3 +200,33 @@ def test_tp_checkpoint_restores_unsharded(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tp_rules_cover_vit():
+    """The ViT rules shard q/k/v/out/mlp kernels inside layer blocks, so
+    --model-shards is not a silent no-op for the 2B image zoo."""
+    from mpmc_tpu.models.vit import ViT
+    mesh = make_mesh(MeshConfig(num_data_shards=4, num_model_shards=2))
+    vit = ViT(hidden_size=32, num_layers=2, num_heads=4, mlp_dim=64,
+              patch_size=16)
+    x = np.zeros((1, 32, 32, 3), np.float32)
+    variables = vit.init(jax.random.PRNGKey(0), x)
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    specs = {}
+    for path, leaf in flat:
+        s = "/".join(str(getattr(k, "key", k)) for k in path)
+        specs[s] = spec_for_path(path)
+    assert specs["layer_0/q/kernel"] == P(None, "model", None)
+    assert specs["layer_0/out/kernel"] == P("model", None, None)
+    assert specs["layer_0/mlp1/kernel"] == P(None, "model")
+    assert specs["layer_0/mlp2/kernel"] == P("model", None)
+    assert specs["patch_embed/kernel"] == P()  # conv stays replicated
+    assert specs["ln_final/scale"] == P()
+    # and a full state actually shards + steps on the mesh
+    from mpmc_tpu.parallel.tp import count_sharded, shard_state
+    import optax
+    tx = optax.adam(1e-3)
+    from mpmc_tpu.train.step import create_train_state
+    state, _ = create_train_state(variables, tx)
+    tp_state = shard_state(state, mesh)
+    assert count_sharded(tp_state.params) >= 6 * 2  # 6 rules x 2 layers
