@@ -4,3 +4,8 @@ from mpmc_tpu.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from mpmc_tpu.parallel.tp import (  # noqa: F401
+    count_sharded,
+    shard_state,
+    spec_for_path,
+)
