@@ -72,21 +72,43 @@ class TextEncoder(nn.Module):
     (jax.checkpoint): activation memory drops from O(layers) to O(1) layers
     at ~1/3 extra FLOPs — the HBM-for-FLOPs trade for large-batch/long-seq
     fine-tuning.
+
+    Setup-style (not ``@nn.compact``) so the embedding stage and the layer
+    stack are separately callable — ``apply(..., method='embed')`` — which
+    the pipeline-parallel harness (``parallel/pp.py``) uses to run the
+    embeddings replicated while the ``layer_i`` stack is stage-sharded.
+    The parameter tree is identical to the original compact layout
+    (``word_embeddings``, ``position_embeddings``, ``token_type_embeddings``,
+    ``embeddings_ln``, ``layer_0..layer_{L-1}``, ``pooler``).
     """
 
     cfg: TextEncoderConfig
     attn_impl: str = "auto"
     remat: bool = False
 
-    @nn.compact
-    def __call__(self, input_ids, attention_mask,
-                 token_type_ids: Optional[jax.Array] = None,
-                 deterministic: bool = True,
-                 return_pooled: bool = False):
+    def setup(self):
+        c = self.cfg
+        self.word_embeddings = nn.Embed(c.vocab_size, c.hidden_size)
+        self.position_embeddings = nn.Embed(c.max_position_embeddings,
+                                            c.hidden_size)
+        if c.type_vocab_size > 0:
+            self.token_type_embeddings = nn.Embed(c.type_vocab_size,
+                                                  c.hidden_size)
+        self.embeddings_ln = nn.LayerNorm(epsilon=c.layer_norm_eps)
+        self.embed_dropout = nn.Dropout(c.hidden_dropout)
+        layer_cls = (nn.remat(EncoderLayer, static_argnums=(3,))
+                     if self.remat else EncoderLayer)
+        for i in range(c.num_layers):
+            setattr(self, f"layer_{i}", layer_cls(c, self.attn_impl))
+        self.pooler = nn.Dense(c.hidden_size)
+
+    def embed(self, input_ids, attention_mask,
+              token_type_ids: Optional[jax.Array] = None,
+              deterministic: bool = True):
+        """Embedding stage: word + position (+ type) → LayerNorm → dropout."""
         c = self.cfg
         B, S = input_ids.shape
-        word = nn.Embed(c.vocab_size, c.hidden_size, name="word_embeddings")(
-            input_ids)
+        word = self.word_embeddings(input_ids)
         if c.roberta_style_positions:
             # RoBERTa: positions count non-pad tokens, offset by pad_id+1.
             positions = (jnp.cumsum(attention_mask, axis=1) * attention_mask
@@ -94,27 +116,31 @@ class TextEncoder(nn.Module):
         else:
             positions = jnp.broadcast_to(
                 jnp.arange(S, dtype=jnp.int32)[None, :], (B, S))
-        pos = nn.Embed(c.max_position_embeddings, c.hidden_size,
-                       name="position_embeddings")(positions)
-        x = word + pos
+        x = word + self.position_embeddings(positions)
         if c.type_vocab_size > 0:
             if token_type_ids is None:
                 token_type_ids = jnp.zeros_like(input_ids)
-            x = x + nn.Embed(c.type_vocab_size, c.hidden_size,
-                             name="token_type_embeddings")(token_type_ids)
-        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="embeddings_ln")(x)
-        x = nn.Dropout(c.hidden_dropout)(x, deterministic=deterministic)
+            x = x + self.token_type_embeddings(token_type_ids)
+        x = self.embeddings_ln(x)
+        return self.embed_dropout(x, deterministic=deterministic)
 
-        mask = attention_mask.astype(jnp.float32)
-        layer_cls = (nn.remat(EncoderLayer, static_argnums=(3,))
-                     if self.remat else EncoderLayer)
-        for i in range(c.num_layers):
-            x = layer_cls(c, self.attn_impl, name=f"layer_{i}")(
-                x, mask, deterministic)
+    def run_layers(self, x, mask, deterministic: bool = True):
+        """The transformer stack over an f32 attention mask [B,S]."""
+        for i in range(self.cfg.num_layers):
+            x = getattr(self, f"layer_{i}")(x, mask, deterministic)
+        return x
 
+    def __call__(self, input_ids, attention_mask,
+                 token_type_ids: Optional[jax.Array] = None,
+                 deterministic: bool = True,
+                 return_pooled: bool = False):
+        x = self.embed(input_ids, attention_mask, token_type_ids,
+                       deterministic)
+        x = self.run_layers(x, attention_mask.astype(jnp.float32),
+                            deterministic)
         # Pooler params always exist (HF checkpoints ship them); the tanh
         # dense on [B, H] is negligible next to the encoder stack.
-        pooled = nn.tanh(nn.Dense(c.hidden_size, name="pooler")(x[:, 0]))
+        pooled = nn.tanh(self.pooler(x[:, 0]))
         if return_pooled:
             return x, pooled
         return x

@@ -4,6 +4,14 @@ from mpmc_tpu.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from mpmc_tpu.parallel.pp import (  # noqa: F401
+    make_pipeline_fn,
+    make_pp_forward,
+    make_pp_train_step,
+    merge_stage_params,
+    place_pp_params,
+    split_stage_params,
+)
 from mpmc_tpu.parallel.tp import (  # noqa: F401
     count_sharded,
     shard_state,
