@@ -53,3 +53,19 @@ for f in ensemble_fam_logit ensemble_fam_logit_scan ref_ensemble; do
     -g data/arabic_memes_propaganda_araieval_24_dev.json \
     -p "$OUT/$f.tsv" 2>/dev/null | tail -1 | sed "s|^|$f: |")
 done
+
+echo "== 2A family-balanced per-fold ensemble (neural+MLM x char-ngram) =="
+# Per-fold 50/50 family blend of the shipped 2A val-fold TSVs under the
+# drivers' exact Youden rule (expected mean ~0.7147 vs 0.704 neural /
+# 0.712 char alone).  The 10 folds partition train+dev, hence two golds.
+total=0
+for k in 0 1 2 3 4 5 6 7 8 9; do
+  f1=$(python -m mpmc_tpu.cli.main combine --group-by-run-id \
+    --metric youden --gold "$TRAIN" "$DEV" \
+    --files runs/tuned_opt_2a/task2A_kevinmathew_probs_fold_$k.tsv \
+            runs/chargram_2a/ngram_char_wb_cv_2A_val_fold_$k.tsv \
+    | grep -oP 'youden-F1 \K[0-9.]+')
+  echo "  fold $k: $f1"
+  total=$(python -c "print($total + $f1)")
+done
+python -c "print('2A family ensemble 10-fold mean macro-F1:', round($total/10, 4))"

@@ -450,7 +450,9 @@ def _cmd_combine(args):
         ids, _, probs = read_prob_predictions(path)
         folds.append(dict(zip(ids, probs)))
         run_ids.append(read_run_id(path))
-    gold = read_gold(args.gold)
+    gold = {}
+    for g in (args.gold if isinstance(args.gold, list) else [args.gold]):
+        gold.update(read_gold(g))
     if args.per_member:
         # Reference diagnostic: each member's own threshold-optimized F1
         # before averaging (combine_preds.py:75-76).
@@ -806,10 +808,16 @@ def main(argv=None):
 
     p = sub.add_parser("combine")
     p.add_argument("--files", nargs="+", required=True)
-    p.add_argument("--gold", required=True)
+    p.add_argument("--gold", nargs="+", required=True,
+                   help="gold manifest(s); several are merged by id (e.g. "
+                        "train+dev for the 2A 10-fold-over-both protocol)")
     p.add_argument("--out", default=None)
-    p.add_argument("--metric", choices=["binary", "macro"], default="binary",
-                   help="threshold-scan objective (binary = reference parity)")
+    p.add_argument("--metric", choices=["binary", "macro", "youden"],
+                   default="binary",
+                   help="threshold rule: binary/macro = 100-point scan "
+                        "(binary = reference parity); youden = the neural "
+                        "drivers' ROC Youden-J rule (no scan) for "
+                        "like-for-like per-fold val ensembles")
     p.add_argument("--per-member", action="store_true",
                    help="print each member TSV's own threshold-optimized "
                         "F1 before averaging (reference diagnostic, "

@@ -121,13 +121,22 @@ def threshold_optimization(preds: FoldPreds, gold: Dict[str, str],
     ``metric='binary'`` reproduces the reference exactly (positive-class F1,
     combine_preds.py:35) — note it degenerates toward all-positive labels
     when fold probabilities are weak.  ``metric='macro'`` optimizes the
-    official task metric instead.
+    official task metric instead.  ``metric='youden'`` is not a scan: it
+    picks the ROC Youden-J threshold exactly as the neural drivers'
+    in-loop eval does (train/loop.py, reference C18) and reports macro-F1
+    there — use it to ensemble per-fold *validation* TSVs under the same
+    rule that produced the per-fold rows.
     """
     ids = list(preds.keys())
     y_true = np.array([1 if gold[i] == "propaganda" else 0 for i in ids])
     y_prob = np.array([preds[i] for i in ids])
     if metric == "binary":
         thr, f1 = threshold_scan(y_true, y_prob, num)
+    elif metric == "youden":
+        from mpmc_tpu.io.scorer import macro_f1
+        from mpmc_tpu.train.metrics import optimal_threshold_youden
+        thr = optimal_threshold_youden(y_true, y_prob)
+        f1 = float(macro_f1(y_true, (y_prob > thr).astype(int)))
     else:
         thr, f1 = macro_f1_threshold_scan(y_true, y_prob, num)
     labels = {i: ("propaganda" if preds[i] > thr else "not_propaganda")

@@ -47,6 +47,25 @@ def test_cli_combine(tmp_path, capsys):
     assert f1 > 0.695  # ensemble of shipped folds beats every baseline
 
 
+def test_cli_combine_multi_gold(tmp_path, capsys):
+    """--gold accepts several manifests merged by id (the 2A protocol folds
+    over train+dev combined, so per-fold val rows span both files): split
+    the dev gold in two and the result must match the single-file run."""
+    import json
+
+    with open(DEV, encoding="utf-8") as f:
+        entries = json.load(f)
+    ga, gb = tmp_path / "a.json", tmp_path / "b.json"
+    ga.write_text(json.dumps(entries[:150]))
+    gb.write_text(json.dumps(entries[150:]))
+    assert main(["combine", "--files", *FOLD_TSVS, "--gold", DEV,
+                 "--metric", "youden"]) == 0
+    single = capsys.readouterr().out
+    assert main(["combine", "--files", *FOLD_TSVS, "--gold", str(ga),
+                 str(gb), "--metric", "youden"]) == 0
+    assert capsys.readouterr().out == single
+
+
 def test_cli_predict_2a(tmp_path, capsys):
     out = str(tmp_path / "pred.tsv")
     probs = str(tmp_path / "probs.tsv")

@@ -96,6 +96,24 @@ def test_threshold_optimization_macro_metric(fold_preds):
     assert f1_m == pytest.approx(macro_f1(y, pm))
 
 
+def test_threshold_optimization_youden_matches_driver_rule(fold_preds):
+    """metric='youden' applies the exact in-loop eval rule (ROC Youden-J
+    threshold, probs > thr, macro-F1) — pinned against a direct
+    computation with the driver's own helpers (train/loop.py:227-230)."""
+    from mpmc_tpu.train.metrics import optimal_threshold_youden
+
+    gold = read_gold(DEV)
+    avg = average_probability(fold_preds)
+    labels, thr, f1 = threshold_optimization(avg, gold, metric="youden")
+    ids = list(avg)
+    y = np.array([1 if gold[i] == "propaganda" else 0 for i in ids])
+    p = np.array([avg[i] for i in ids])
+    thr_ref = optimal_threshold_youden(y, p)
+    assert thr == pytest.approx(thr_ref)
+    assert f1 == pytest.approx(macro_f1(y, (p > thr_ref).astype(int)))
+    assert all((labels[i] == "propaganda") == (avg[i] > thr) for i in ids)
+
+
 def test_group_average_family_balancing():
     """A 3-member family and a 1-member family contribute equally to the
     two-level mean, regardless of member counts."""
