@@ -44,11 +44,19 @@ _VMEM_BUDGET = 5 * 1024 * 1024
 # XLA reference path (also the CPU/test path)
 # ---------------------------------------------------------------------------
 
-def _attention_xla(q, k, v, mask, scale):
-    # q: [B,Sq,H,D], k/v: [B,Sk,H,D], mask: [B,Sk] or None
+def _attention_xla(q, k, v, mask, scale, segments=None):
+    # q: [B,Sq,H,D], k/v: [B,Sk,H,D], mask: [B,Sk] or None,
+    # segments: [B,S] int (0 = padding) for packed self-attention or None.
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
-    if mask is not None:
+    if segments is not None:
+        # Packed rows: token i may attend token j iff they belong to the
+        # same (non-padding) segment — block-diagonal within the row.
+        allow = (segments[:, :, None] == segments[:, None, :]) & (
+            segments[:, None, :] > 0)
+        scores = scores + (
+            1.0 - allow.astype(jnp.float32))[:, None, :, :] * _NEG_INF
+    elif mask is not None:
         bias = (1.0 - mask.astype(jnp.float32))[:, None, None, :] * _NEG_INF
         scores = scores + bias
     probs = jax.nn.softmax(scores, axis=-1)
@@ -70,15 +78,30 @@ def _head_groups(H: int, per_head_bytes: int) -> int:
 # Pallas forward
 # ---------------------------------------------------------------------------
 
+def _mask_bias(mask_ref, mask_mode):
+    """In-kernel additive bias from the mask/segment input.
+
+    'padding': [Sk] bias from a 0/1 key mask.  'segments': [Sq, Sk] bias
+    from packed-row segment ids (f32-encoded small ints; 0 = padding) —
+    token i attends token j iff same non-zero segment (block-diagonal
+    within the packed row; ops/packing.py)."""
+    row = mask_ref[0, 0].astype(jnp.float32)                       # [Sk]
+    if mask_mode == "padding":
+        return ((1.0 - row) * _NEG_INF)[None, :]                   # [1, Sk]
+    allow = jnp.logical_and(row[None, :] == row[:, None], row[None, :] > 0)
+    return (1.0 - allow.astype(jnp.float32)) * _NEG_INF            # [Sq,Sk]
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
-                heads, masked):
+                heads, mask_mode):
     # q arrives pre-scaled by 1/sqrt(D) (folded into the host-side transpose,
     # a [B,H,Sq,D] elementwise — 128× fewer elements than scaling the
     # [Sq,Sk] score tile in here).  Softmax runs unnormalized: the division
     # by the denominator is deferred to a [Sq,D] rescale of the output,
     # saving a full [Sq,Sk] VPU pass per head.
+    masked = mask_mode != "none"
     if masked:
-        bias = (1.0 - mask_ref[0, 0].astype(jnp.float32)) * _NEG_INF  # [Sk]
+        bias = _mask_bias(mask_ref, mask_mode)    # [Sk] or [Sq, Sk]
     for h in range(heads):
         q = q_ref[0, h]                          # [Sq, D] input dtype
         k = k_ref[0, h]
@@ -86,7 +109,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         if masked:
-            s = s + bias[None, :]
+            s = s + bias
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         denom = jnp.sum(e, axis=-1, keepdims=True)
@@ -96,7 +119,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
         lse_ref[0, 0, h] = m[:, 0] + jnp.log(denom[:, 0])
 
 
-def _fwd_pallas(q, k, v, mask, scale):
+def _fwd_pallas(q, k, v, mask, mask_mode, scale):
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
     itemsize = q.dtype.itemsize
@@ -110,7 +133,6 @@ def _fwd_pallas(q, k, v, mask, scale):
     qt = jnp.transpose(q, (0, 2, 1, 3)) * jnp.asarray(scale, q.dtype)
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))
-    masked = mask is not None
     if mask is None:
         mask = jnp.ones((B, Sk), dtype=jnp.float32)
 
@@ -119,7 +141,7 @@ def _fwd_pallas(q, k, v, mask, scale):
     spec_k = pl.BlockSpec((1, gh, Sk, D), lambda b, g: (b, g, 0, 0),
                           memory_space=pltpu.VMEM)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, heads=gh, masked=masked),
+        functools.partial(_fwd_kernel, heads=gh, mask_mode=mask_mode),
         grid=(B, groups),
         in_specs=[
             spec_q, spec_k, spec_k,
@@ -154,12 +176,13 @@ def _fwd_pallas(q, k, v, mask, scale):
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, scale, heads, masked):
+                dq_ref, dk_ref, dv_ref, *, scale, heads, mask_mode):
     # q arrives pre-scaled (qs = q/sqrt(D)): s = qs·kᵀ matches the forward,
     # dk = dsᵀ·qs absorbs the scale exactly, and only dq needs a cheap
     # [Sq,D] rescale — this removes the [Sq,Sk] `ds * scale` VPU pass.
+    masked = mask_mode != "none"
     if masked:
-        bias = (1.0 - mask_ref[0, 0].astype(jnp.float32)) * _NEG_INF
+        bias = _mask_bias(mask_ref, mask_mode)
     for h in range(heads):
         qs = q_ref[0, h]
         k = k_ref[0, h]
@@ -171,8 +194,18 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, do_ref,
         s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         if masked:
-            s = s + bias[None, :]
-        p = jnp.exp(s - lse[:, None])             # [Sq, Sk] f32
+            s = s + bias
+        if mask_mode == "segments":
+            # Packed rows have fully-masked (seg 0) QUERY rows whose row max
+            # is ~-1e9: the stored lse = -1e9 + O(1) loses the O(1) part to
+            # f32 absorption and exp(s - lse) rebuilds a wrong softmax for
+            # them.  The whole [Sq,Sk] tile is already in VMEM — recompute
+            # the row softmax exactly as the forward did instead.
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+        else:
+            p = jnp.exp(s - lse[:, None])         # [Sq, Sk] f32
         p_lo = p.astype(v.dtype)
         dv_ref[0, h] = jax.lax.dot_general(
             p_lo, do, (((0,), (0,)), ((), ())),
@@ -188,7 +221,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, do_ref,
             preferred_element_type=jnp.float32).astype(dk_ref.dtype)
 
 
-def _bwd_pallas(scale, residuals, g):
+def _bwd_pallas(mask_mode, scale, residuals, g):
     q, k, v, mask, out, lse = residuals
     do = g
     B, Sq, H, D = q.shape
@@ -207,7 +240,6 @@ def _bwd_pallas(scale, residuals, g):
     vt = jnp.transpose(v, (0, 2, 1, 3))
     ot = jnp.transpose(out, (0, 2, 1, 3))
     dot_ = jnp.transpose(do, (0, 2, 1, 3))
-    masked = mask is not None
     if mask is None:
         mask_arr = jnp.ones((B, Sk), dtype=jnp.float32)
     else:
@@ -217,7 +249,8 @@ def _bwd_pallas(scale, residuals, g):
     spec_k = pl.BlockSpec((1, gh, Sk, D), lambda b, g: (b, g, 0, 0),
                           memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, heads=gh, masked=masked),
+        functools.partial(_bwd_kernel, scale=scale, heads=gh,
+                          mask_mode=mask_mode),
         grid=(B, groups),
         in_specs=[
             spec_q, spec_k, spec_k,
@@ -242,18 +275,119 @@ def _bwd_pallas(scale, residuals, g):
             jnp.transpose(dv, (0, 2, 1, 3)), None)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _attention_pallas(q, k, v, mask, scale):
-    out, _ = _fwd_pallas(q, k, v, mask, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _attention_pallas(q, k, v, mask, mask_mode, scale):
+    out, _ = _fwd_pallas(q, k, v, mask, mask_mode, scale)
     return out
 
 
-def _attention_pallas_fwd(q, k, v, mask, scale):
-    out, lse = _fwd_pallas(q, k, v, mask, scale)
+def _attention_pallas_fwd(q, k, v, mask, mask_mode, scale):
+    out, lse = _fwd_pallas(q, k, v, mask, mask_mode, scale)
     return out, (q, k, v, mask, out, lse)
 
 
 _attention_pallas.defvjp(_attention_pallas_fwd, _bwd_pallas)
+
+
+# ---------------------------------------------------------------------------
+# Sequence/context-parallel impls (inside shard_map over a sequence axis)
+# ---------------------------------------------------------------------------
+
+def _attention_ring(q, k, v, mask, scale, axis_name):
+    """Ring attention over a sequence-sharded mesh axis.
+
+    Called INSIDE a ``shard_map`` whose mesh binds ``axis_name``: every
+    device holds the local token block of q/k/v ``[B, S/P, H, D]`` (and the
+    local key-padding mask ``[B, S/P]``).  K/V/mask blocks rotate around the
+    ring with one neighbour ``lax.ppermute`` per step while each device
+    accumulates its queries' attention blockwise (flash-style running
+    max / denominator in f32), so the full ``[S, S]`` score matrix is never
+    materialized anywhere and per-chip activation memory scales as 1/P.
+    The backward pass is the autodiff transpose (a ppermute transposes to
+    the reverse rotation) — no hand-written reverse schedule.
+
+    The reference pads every sequence to 512 on one device
+    (``Multimodal_example_task2C.py:276``); this is the TPU-native scaling
+    path for drop-in long-context encoders (SURVEY.md §2.3 / §5.7).
+    """
+    P = jax.lax.axis_size(axis_name)
+    B, Sq, H, D = q.shape
+    qf = (q.astype(jnp.float32) * scale).transpose(0, 2, 1, 3)  # [B,H,Sq,D]
+    kb = k.astype(jnp.float32).transpose(0, 2, 1, 3)
+    vb = v.astype(jnp.float32).transpose(0, 2, 1, 3)
+    if mask is None:
+        mb = jnp.ones((B, k.shape[1]), jnp.float32)
+    else:
+        mb = mask.astype(jnp.float32)
+    perm = [(i, (i + 1) % P) for i in range(P)]
+
+    def body(carry, _):
+        acc, m, l, kb, vb, mb = carry
+        s = jax.lax.dot_general(qf, kb, (((3,), (3,)), ((0, 1), (0, 1))),
+                                preferred_element_type=jnp.float32)
+        s = s + (1.0 - mb)[:, None, None, :] * _NEG_INF    # [B,H,Sq,Sk]
+        new_m = jnp.maximum(m, jnp.max(s, axis=-1))        # [B,H,Sq]
+        alpha = jnp.exp(m - new_m)                         # rescale old
+        p = jnp.exp(s - new_m[..., None])
+        l = l * alpha + jnp.sum(p, axis=-1)
+        pv = jax.lax.dot_general(p, vb, (((3,), (2,)), ((0, 1), (0, 1))))
+        acc = acc * alpha[..., None] + pv
+        if P > 1:
+            kb = jax.lax.ppermute(kb, axis_name, perm)
+            vb = jax.lax.ppermute(vb, axis_name, perm)
+            mb = jax.lax.ppermute(mb, axis_name, perm)
+        return (acc, new_m, l, kb, vb, mb), None
+
+    # The rotating K/V/mask blocks are device-varying over the ring axis
+    # from the first ppermute on — and the scan-carried accumulators become
+    # varying over every manual axis the sharded inputs carry (e.g. a
+    # composed (data, seq) mesh).  Mark freshly-created carry entries (the
+    # running max/denominator literals, the all-ones mask) varying over the
+    # same union so the scan carry types agree (see shard_map scan-vma).
+    target_vma = (set(jax.typeof(qf).vma) | set(jax.typeof(kb).vma)
+                  | set(jax.typeof(mb).vma) | {axis_name})
+
+    def var(x):
+        missing = tuple(target_vma - set(jax.typeof(x).vma))
+        if not missing:
+            return x
+        return jax.lax.pcast(x, missing, to="varying")
+
+    init = (var(jnp.zeros_like(qf)),
+            var(jnp.full((B, H, Sq), -jnp.inf, jnp.float32)),
+            var(jnp.zeros((B, H, Sq), jnp.float32)),
+            var(kb), var(vb), var(mb))
+    (acc, _, l, *_), _ = jax.lax.scan(body, init, None, length=P)
+    out = acc / l[..., None]
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)
+
+
+def _attention_ulysses(q, k, v, mask, scale, axis_name):
+    """DeepSpeed-Ulysses-style sequence parallelism: two ``all_to_all``
+    re-shards swap the sequence sharding for a *head* sharding, the exact
+    attention then runs fully local over ``H/P`` heads (through the stock
+    XLA path), and a final all_to_all restores sequence sharding.  Constant
+    2 collectives per attention regardless of sequence length — cheaper
+    than the ring when ``H % P == 0`` and S·D per-chip fits HBM.
+
+    Same calling convention as :func:`_attention_ring` (inside shard_map,
+    local blocks ``[B, S/P, H, D]``; mask ``[B, S/P]``).
+    """
+    P = jax.lax.axis_size(axis_name)
+    H = q.shape[2]
+    if H % P:
+        raise ValueError(f"ulysses needs heads ({H}) divisible by the "
+                         f"sequence-axis size ({P})")
+    # [B, S/P, H, D] -> [B, S, H/P, D]: split heads, gather sequence.
+    a2a = lambda x: jax.lax.all_to_all(  # noqa: E731
+        x, axis_name, split_axis=2, concat_axis=1, tiled=True)
+    qg, kg, vg = a2a(q), a2a(k), a2a(v)
+    if mask is not None:
+        mask = jax.lax.all_gather(mask, axis_name, axis=1, tiled=True)
+    out = _attention_xla(qg, kg, vg, mask, scale)      # local: H/P heads
+    # [B, S, H/P, D] -> [B, S/P, H, D]
+    return jax.lax.all_to_all(out, axis_name, split_axis=1, concat_axis=2,
+                              tiled=True)
 
 
 # ---------------------------------------------------------------------------
@@ -279,15 +413,42 @@ def _on_tpu() -> bool:
 
 def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                           mask: Optional[jax.Array] = None,
-                          impl: str = "auto") -> jax.Array:
+                          impl: str = "auto",
+                          segments: Optional[jax.Array] = None) -> jax.Array:
     """Multi-head scaled dot-product attention with key-padding mask.
 
     q: [B,Sq,H,D]; k, v: [B,Sk,H,D]; mask: [B,Sk] (1 = attend) or None.
-    impl: 'auto' (pallas on TPU, XLA elsewhere) | 'pallas' | 'xla'.
+    impl: 'auto' (pallas on TPU, XLA elsewhere) | 'pallas' | 'xla', or a
+    sequence-parallel impl usable only inside a shard_map binding the named
+    mesh axis: 'ring:<axis>' (ring attention — K/V blocks rotate via
+    ppermute) | 'ulysses:<axis>' (all_to_all head re-shard, local exact
+    attention).  For the SP impls q/k/v are the LOCAL sequence blocks.
+
+    segments: [B,S] int32 (0 = padding) for PACKED self-attention rows
+    (ops/packing.py): token i attends token j iff both carry the same
+    non-zero segment id — block-diagonal masking, exactly equivalent to
+    running each packed sample as its own row.  Requires Sq == Sk;
+    supersedes ``mask``; not supported by the SP impls.
     """
     scale = 1.0 / (q.shape[-1] ** 0.5)
     if impl == "auto":
         impl = _DEFAULT_IMPL or ("pallas" if _on_tpu() else "xla")
+    if segments is not None:
+        if q.shape[1] != k.shape[1]:
+            raise ValueError("segment packing requires self-attention "
+                             f"(Sq={q.shape[1]} != Sk={k.shape[1]})")
+        if impl.startswith(("ring:", "ulysses:")):
+            raise ValueError("segment packing is not supported by the "
+                             "sequence-parallel impls")
+        if impl == "pallas":
+            return _attention_pallas(q, k, v, segments.astype(jnp.float32),
+                                     "segments", scale)
+        return _attention_xla(q, k, v, None, scale, segments=segments)
+    if impl.startswith("ring:"):
+        return _attention_ring(q, k, v, mask, scale, impl.split(":", 1)[1])
+    if impl.startswith("ulysses:"):
+        return _attention_ulysses(q, k, v, mask, scale, impl.split(":", 1)[1])
     if impl == "pallas":
-        return _attention_pallas(q, k, v, mask, scale)
+        return _attention_pallas(q, k, v, mask,
+                                 "none" if mask is None else "padding", scale)
     return _attention_xla(q, k, v, mask, scale)

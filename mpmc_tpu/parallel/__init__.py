@@ -12,6 +12,12 @@ from mpmc_tpu.parallel.pp import (  # noqa: F401
     place_pp_params,
     split_stage_params,
 )
+from mpmc_tpu.parallel.sp import (  # noqa: F401
+    make_sp_forward,
+    make_sp_stack,
+    make_sp_train_step,
+    place_sp_params,
+)
 from mpmc_tpu.parallel.tp import (  # noqa: F401
     count_sharded,
     shard_state,
