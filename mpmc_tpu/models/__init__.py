@@ -14,6 +14,8 @@ from mpmc_tpu.models.classifier import (  # noqa: F401
     ImageClassifier,
     ImageEncoderWithHead,
     MultimodalClassifier,
+    PackedMultimodalClassifier,
+    PackedTextClassifier,
     SimpleMultimodalClassifier,
     TextClassifier,
 )

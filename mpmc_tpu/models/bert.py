@@ -32,7 +32,7 @@ class MultiHeadSelfAttention(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, mask, deterministic: bool):
+    def __call__(self, x, mask, deterministic: bool, segments=None):
         c = self.cfg
         head_dim = c.hidden_size // c.num_heads
         dense = lambda name: nn.DenseGeneral(  # noqa: E731
@@ -40,7 +40,8 @@ class MultiHeadSelfAttention(nn.Module):
         q = dense("query")(x)
         k = dense("key")(x)
         v = dense("value")(x)
-        ctx = dot_product_attention(q, k, v, mask, impl=self.attn_impl)
+        ctx = dot_product_attention(q, k, v, mask, impl=self.attn_impl,
+                                    segments=segments)
         out = nn.DenseGeneral(features=c.hidden_size, axis=(-2, -1),
                               name="out")(ctx)
         out = nn.Dropout(c.attention_dropout)(out, deterministic=deterministic)
@@ -52,11 +53,11 @@ class EncoderLayer(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, mask, deterministic: bool):
+    def __call__(self, x, mask, deterministic: bool, segments=None):
         c = self.cfg
         # Post-LN (BERT-style): sublayer → residual → LayerNorm.
         attn = MultiHeadSelfAttention(c, self.attn_impl, name="attention")(
-            x, mask, deterministic)
+            x, mask, deterministic, segments)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="attention_ln")(x + attn)
         h = nn.Dense(c.intermediate_size, name="intermediate")(x)
         h = nn.gelu(h, approximate=c.gelu_approx)
@@ -104,12 +105,24 @@ class TextEncoder(nn.Module):
 
     def embed(self, input_ids, attention_mask,
               token_type_ids: Optional[jax.Array] = None,
-              deterministic: bool = True):
-        """Embedding stage: word + position (+ type) → LayerNorm → dropout."""
+              deterministic: bool = True,
+              positions: Optional[jax.Array] = None):
+        """Embedding stage: word + position (+ type) → LayerNorm → dropout.
+
+        ``positions`` overrides the position ids with 0-based per-sample
+        offsets (sequence packing, ``ops/packing.py``) — they restart at
+        each packed segment so absolute-position embeddings match the
+        unpacked forward exactly; the RoBERTa convention's offset is
+        applied on top."""
         c = self.cfg
         B, S = input_ids.shape
         word = self.word_embeddings(input_ids)
-        if c.roberta_style_positions:
+        if positions is not None:
+            if c.roberta_style_positions:
+                # RoBERTa maps the i-th valid token to (i+1) + pad_id.
+                positions = positions + (c.pad_token_id + 1)
+            positions = positions.astype(jnp.int32)
+        elif c.roberta_style_positions:
             # RoBERTa: positions count non-pad tokens, offset by pad_id+1.
             positions = (jnp.cumsum(attention_mask, axis=1) * attention_mask
                          + c.pad_token_id).astype(jnp.int32)
@@ -124,20 +137,23 @@ class TextEncoder(nn.Module):
         x = self.embeddings_ln(x)
         return self.embed_dropout(x, deterministic=deterministic)
 
-    def run_layers(self, x, mask, deterministic: bool = True):
-        """The transformer stack over an f32 attention mask [B,S]."""
+    def run_layers(self, x, mask, deterministic: bool = True, segments=None):
+        """The transformer stack over an f32 attention mask [B,S] (or packed
+        segment ids — ``ops/packing.py``)."""
         for i in range(self.cfg.num_layers):
-            x = getattr(self, f"layer_{i}")(x, mask, deterministic)
+            x = getattr(self, f"layer_{i}")(x, mask, deterministic, segments)
         return x
 
     def __call__(self, input_ids, attention_mask,
                  token_type_ids: Optional[jax.Array] = None,
                  deterministic: bool = True,
-                 return_pooled: bool = False):
+                 return_pooled: bool = False,
+                 segments: Optional[jax.Array] = None,
+                 positions: Optional[jax.Array] = None):
         x = self.embed(input_ids, attention_mask, token_type_ids,
-                       deterministic)
+                       deterministic, positions=positions)
         x = self.run_layers(x, attention_mask.astype(jnp.float32),
-                            deterministic)
+                            deterministic, segments=segments)
         # Pooler params always exist (HF checkpoints ship them); the tanh
         # dense on [B, H] is negligible next to the encoder stack.
         pooled = nn.tanh(self.pooler(x[:, 0]))

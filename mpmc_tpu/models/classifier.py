@@ -21,8 +21,9 @@ from typing import Optional
 import jax
 from flax import linen as nn
 
-from mpmc_tpu.config import ImageEncoderConfig, ModelConfig
+from mpmc_tpu.config import ImageEncoderConfig, ModelConfig, PoolingType
 from mpmc_tpu.models.bert import TextEncoder
+from mpmc_tpu.ops.packing import packed_sample_view, unpack_cls
 from mpmc_tpu.models.convnext import ConvNeXt
 from mpmc_tpu.models.efficientnet import EfficientNet
 from mpmc_tpu.models.fusion import make_fusion
@@ -101,6 +102,42 @@ class TextClassifier(nn.Module):
         pooled = Pooler(self.cfg.pooling, self.cfg.text.hidden_size,
                         name="pooler")(hidden, attention_mask)
         return nn.Dense(self.cfg.num_classes, name="output")(pooled)
+
+
+class PackedTextClassifier(nn.Module):
+    """``TextClassifier`` over a PACKED batch (``ops/packing.py``): several
+    samples per transformer row with segment-masked attention and restarting
+    position ids — per-sample numerics are exactly the unpacked forward's
+    (parity-tested), at ~padding-ratio× fewer transformer rows (the corpus
+    averages ~15 tokens vs the 128-token bucket).
+
+    The parameter tree is identical to ``TextClassifier`` (``encoder``,
+    ``pooler``, ``output``) so checkpoints are interchangeable.  Unmasked
+    poolings (MAX/CNN/NOPOOLING) cannot be packed (neighbouring samples
+    would leak through the unmasked reduction) and are rejected.
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, packed, train: bool = False):
+        c = self.cfg
+        p = PoolingType(c.pooling)
+        if p in (PoolingType.MAX, PoolingType.CNN, PoolingType.NOPOOLING):
+            raise ValueError(f"pooling {p.value} is unmasked and cannot be "
+                             "packed (ops/packing.py)")
+        segments = packed["segments"]
+        hidden = TextEncoder(c.text, name="encoder")(
+            packed["ids"], (segments > 0).astype(jax.numpy.int32),
+            deterministic=not train, segments=segments,
+            positions=packed["positions"])
+        if p == PoolingType.CLS:
+            pooled = unpack_cls(hidden, packed)
+        else:
+            rows, mask = packed_sample_view(hidden, packed)
+            pooled = Pooler(c.pooling, c.text.hidden_size,
+                            name="pooler")(rows, mask)
+        return nn.Dense(c.num_classes, name="output")(pooled)
 
 
 class ImageClassifier(nn.Module):
@@ -210,3 +247,60 @@ class MultimodalClassifier(nn.Module):
         logit = nn.BatchNorm(use_running_average=not train,
                              name="output_bn")(logit)
         return logit[:, 0]  # squeeze to [B] (reference :684)
+
+
+class PackedMultimodalClassifier(nn.Module):
+    """``MultimodalClassifier`` with PACKED text and caption branches
+    (``ops/packing.py``): both text towers run several samples per row under
+    segment-masked attention (the corpus averages ~15 text / short caption
+    tokens vs the 128/64 buckets), the image branch is per-sample as before,
+    and each branch's CLS features are gathered back to sample order before
+    the modality FCs — so fusion/BatchNorm/head see exactly the unpacked
+    batch.  Parameter tree identical to ``MultimodalClassifier``
+    (checkpoints interchangeable); per-sample numerics exactly equal
+    (parity-tested).
+
+    ``text_packed`` / ``caption_packed`` are ``PackedBatch.asdict()`` trees
+    whose per-sample maps are aligned with ``image``'s batch axis.
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, text_packed, image, caption_packed=None,
+                 train: bool = False):
+        c = self.cfg
+        feats = []
+        if c.text is not None and text_packed is not None:
+            seg = text_packed["segments"]
+            hidden = TextEncoder(c.text, name="text_model")(
+                text_packed["ids"], (seg > 0).astype(jax.numpy.int32),
+                deterministic=not train, segments=seg,
+                positions=text_packed["positions"])
+            cls = unpack_cls(hidden, text_packed)  # reference cls-pool :590
+            feats.append(_ModalityFC(c.proj_dim, c.dropout, name="text_fc")(
+                cls, train))
+
+        image_feat = ImageEncoderWithHead(c.image, name="image_model")(
+            image, train=train)
+        feats.append(image_feat)
+
+        use_caption = c.caption is not None and caption_packed is not None
+        if use_caption:
+            cseg = caption_packed["segments"]
+            cap_hidden = TextEncoder(c.caption, name="caption_text_model")(
+                caption_packed["ids"], (cseg > 0).astype(jax.numpy.int32),
+                deterministic=not train, segments=cseg,
+                positions=caption_packed["positions"])
+            cap_cls = unpack_cls(cap_hidden, caption_packed)
+            feats.append(_ModalityFC(c.proj_dim, c.dropout,
+                                     name="caption_text_fc")(cap_cls, train))
+
+        fusion = make_fusion(c.fusion, c.proj_dim, len(feats),
+                             feat_dims=[f.shape[-1] for f in feats])
+        fused = fusion(*feats, train=train)
+
+        logit = nn.Dense(1, name="output_fc")(fused)
+        logit = nn.BatchNorm(use_running_average=not train,
+                             name="output_bn")(logit)
+        return logit[:, 0]

@@ -1,0 +1,185 @@
+"""Sequence packing (ops/packing.py + segment-masked attention + packed
+classifiers): per-sample numerics must EXACTLY match the unpacked forward.
+
+Checks: (a) packer invariants (every sample's tokens laid contiguously,
+positions restart, deterministic, num_rows pinning); (b) segment-masked
+attention == per-sample attention through the XLA path; (c)
+PackedTextClassifier logits == TextClassifier logits for CLS / ATTENTION /
+MEAN poolings and RoBERTa-style positions; (d) grads through the packed
+forward match the unpacked grads; (e) PackedMultimodalClassifier ==
+MultimodalClassifier on the tiny 2C config; (f) unmasked poolings are
+rejected.  (The Pallas segment kernel is additionally parity-checked
+against the XLA path on real TPU — fwd and bwd — before benching.)"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from mpmc_tpu.config import ModelConfig, PoolingType, TextEncoderConfig
+from mpmc_tpu.models.classifier import (MultimodalClassifier,
+                                        PackedMultimodalClassifier,
+                                        PackedTextClassifier, TextClassifier)
+from mpmc_tpu.ops.attention import dot_product_attention
+from mpmc_tpu.ops.packing import pack_sequences
+
+
+def _ragged_batch(rng, B=10, S=24, vocab=100, min_len=3, max_len=20):
+    ids = rng.integers(5, vocab, (B, S)).astype(np.int32)
+    mask = np.zeros((B, S), np.int32)
+    for i in range(B):
+        L = int(rng.integers(min_len, max_len + 1))
+        mask[i, :L] = 1
+        ids[i, L:] = 0
+    return ids, mask
+
+
+def test_packer_invariants(rng):
+    ids, mask = _ragged_batch(rng)
+    packed = pack_sequences(ids, mask, pack_len=32)
+    lengths = mask.sum(1)
+    assert packed.num_samples == ids.shape[0]
+    # tighter than one row per sample
+    assert packed.num_rows < ids.shape[0]
+    for b in range(ids.shape[0]):
+        r, s0, L = packed.row_of[b], packed.start_of[b], int(lengths[b])
+        np.testing.assert_array_equal(packed.ids[r, s0:s0 + L], ids[b, :L])
+        np.testing.assert_array_equal(packed.segments[r, s0:s0 + L],
+                                      packed.slot_of[b])
+        np.testing.assert_array_equal(packed.positions[r, s0:s0 + L],
+                                      np.arange(L))
+    # padding is segment 0 everywhere else
+    total = int(lengths.sum())
+    assert int((packed.segments > 0).sum()) == total
+    # deterministic
+    packed2 = pack_sequences(ids, mask, pack_len=32)
+    np.testing.assert_array_equal(packed.ids, packed2.ids)
+    # num_rows pinning and overflow guard
+    padded = pack_sequences(ids, mask, pack_len=32,
+                            num_rows=packed.num_rows + 2)
+    assert padded.num_rows == packed.num_rows + 2
+    with pytest.raises(ValueError, match="rows"):
+        pack_sequences(ids, mask, pack_len=32, num_rows=1)
+
+
+def test_segment_attention_matches_per_sample(rng):
+    """One packed row holding 3 samples == 3 independent rows (XLA path)."""
+    H, D = 2, 8
+    lens = [6, 5, 4]
+    S = sum(lens) + 3  # some trailing padding
+    q = rng.standard_normal((1, S, H, D)).astype(np.float32)
+    k = rng.standard_normal((1, S, H, D)).astype(np.float32)
+    v = rng.standard_normal((1, S, H, D)).astype(np.float32)
+    seg = np.zeros((1, S), np.int32)
+    off = 0
+    for i, L in enumerate(lens):
+        seg[0, off:off + L] = i + 1
+        off += L
+    packed_out = dot_product_attention(jnp.asarray(q), jnp.asarray(k),
+                                       jnp.asarray(v), impl="xla",
+                                       segments=jnp.asarray(seg))
+    off = 0
+    for i, L in enumerate(lens):
+        solo = dot_product_attention(
+            jnp.asarray(q[:, off:off + L]), jnp.asarray(k[:, off:off + L]),
+            jnp.asarray(v[:, off:off + L]), impl="xla")
+        np.testing.assert_allclose(np.asarray(packed_out[:, off:off + L]),
+                                   np.asarray(solo), atol=1e-6,
+                                   err_msg=f"segment {i}")
+        off += L
+
+
+def _model_pair(pooling=PoolingType.ATTENTION, roberta=False):
+    tcfg = TextEncoderConfig(vocab_size=100, hidden_size=32, num_layers=2,
+                             num_heads=4, intermediate_size=64,
+                             max_position_embeddings=64,
+                             roberta_style_positions=roberta,
+                             type_vocab_size=0 if roberta else 2)
+    mcfg = ModelConfig(text=tcfg, pooling=pooling, num_classes=2)
+    return mcfg, TextClassifier(mcfg), PackedTextClassifier(mcfg)
+
+
+@pytest.mark.parametrize("pooling,roberta", [
+    (PoolingType.CLS, False),
+    (PoolingType.ATTENTION, False),
+    (PoolingType.MEAN, False),
+    (PoolingType.CLS, True),
+])
+def test_packed_text_classifier_parity(pooling, roberta, rng):
+    mcfg, plain, packed_model = _model_pair(pooling, roberta)
+    ids, mask = _ragged_batch(rng)
+    params = plain.init(jax.random.key(0), ids[:1], mask[:1])["params"]
+    ref = plain.apply({"params": params}, ids, mask, train=False)
+    packed = {k: jnp.asarray(v) for k, v in
+              pack_sequences(ids, mask, pack_len=32).asdict().items()}
+    out = packed_model.apply({"params": params}, packed, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_packed_grad_parity(rng):
+    mcfg, plain, packed_model = _model_pair()
+    ids, mask = _ragged_batch(rng)
+    y = (rng.random(ids.shape[0]) > 0.5).astype(np.int32)
+    params = plain.init(jax.random.key(0), ids[:1], mask[:1])["params"]
+    packed = {k: jnp.asarray(v) for k, v in
+              pack_sequences(ids, mask, pack_len=32).asdict().items()}
+
+    def loss_plain(params):
+        logits = plain.apply({"params": params}, ids, mask, train=False)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, y).mean()
+
+    def loss_packed(params):
+        logits = packed_model.apply({"params": params}, packed, train=False)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, y).mean()
+
+    g_a = jax.jit(jax.grad(loss_plain))(params)
+    g_b = jax.jit(jax.grad(loss_packed))(params)
+    flat_a = dict(jax.tree_util.tree_leaves_with_path(g_a))
+    flat_b = jax.tree_util.tree_leaves_with_path(g_b)
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_b:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_a[path]), atol=1e-5,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_packed_multimodal_parity(rng):
+    mcfg = ModelConfig.tiny_2c()
+    plain = MultimodalClassifier(mcfg)
+    packed_model = PackedMultimodalClassifier(mcfg)
+    B = 6
+    ids, mask = _ragged_batch(rng, B=B, S=mcfg.max_text_len, min_len=3,
+                              max_len=mcfg.max_text_len - 2)
+    cap_ids, cap_mask = _ragged_batch(rng, B=B, S=mcfg.max_caption_len,
+                                      vocab=mcfg.caption.vocab_size,
+                                      min_len=2,
+                                      max_len=mcfg.max_caption_len - 2)
+    img = rng.random((B, mcfg.image.image_size, mcfg.image.image_size, 3)
+                     ).astype(np.float32)
+    variables = plain.init(jax.random.key(0), ids, mask, img, cap_ids,
+                           cap_mask)
+    ref = plain.apply(variables, ids, mask, img, cap_ids, cap_mask,
+                      train=False)
+    tp = {k: jnp.asarray(v) for k, v in
+          pack_sequences(ids, mask, mcfg.max_text_len).asdict().items()}
+    cp = {k: jnp.asarray(v) for k, v in
+          pack_sequences(cap_ids, cap_mask,
+                         mcfg.max_caption_len).asdict().items()}
+    out = packed_model.apply(variables, tp, img, cp, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # same param tree → checkpoints interchangeable
+    v2 = packed_model.init(jax.random.key(1), tp, img, cp)
+    assert (jax.tree_util.tree_structure(v2["params"])
+            == jax.tree_util.tree_structure(variables["params"]))
+
+
+def test_packed_rejects_unmasked_pooling(rng):
+    mcfg, plain, packed_model = _model_pair(PoolingType.MAX)
+    ids, mask = _ragged_batch(rng)
+    packed = {k: jnp.asarray(v) for k, v in
+              pack_sequences(ids, mask, pack_len=32).asdict().items()}
+    with pytest.raises(ValueError, match="unmasked"):
+        packed_model.init(jax.random.key(0), packed)
