@@ -217,7 +217,8 @@ def make_apply_fn(model, kind: str, augment_images: bool = False,
 
 def _init_and_steps(model, cfg: TrainConfig, train_data, kind: str,
                     augment: bool = False, grayscale: bool = False,
-                    pretrained=None, eval_transform_only: bool = False):
+                    pretrained=None, eval_transform_only: bool = False,
+                    packed_model=None, steps_per_epoch: int = 0):
     import jax
     import numpy as np
     from mpmc_tpu.models.pretrained import apply_pretrained
@@ -247,17 +248,25 @@ def _init_and_steps(model, cfg: TrainConfig, train_data, kind: str,
     variables = apply_pretrained(variables, cfg.model, kind, pretrained)
     n = len(train_data["label"])
     bs = cfg.data.batch_size
-    total_steps = ((n + bs - 1) // bs) * cfg.epochs
+    if not steps_per_epoch:
+        steps_per_epoch = (n + bs - 1) // bs
+    total_steps = steps_per_epoch * cfg.epochs
     tx = make_optimizer(cfg, total_steps)
     state, _ = create_train_state(variables, tx)
     apply_fn = make_apply_fn(model, kind, augment_images=augment,
                              grayscale=grayscale,
                              eval_transform_only=eval_transform_only)
+    # Sequence packing (DataConfig.pack_rows): train steps run the packed
+    # model (same param tree), eval stays on the plain apply_fn.
+    train_apply_fn = apply_fn
+    if packed_model is not None:
+        from mpmc_tpu.train.packed import make_packed_text_apply_fn
+        train_apply_fn = make_packed_text_apply_fn(packed_model)
     scan_step = scan_eval = gather = None
     if cfg.scan_steps > 1:
-        scan_step = make_scan_train_step(apply_fn, cfg, tx)
+        scan_step = make_scan_train_step(train_apply_fn, cfg, tx)
         scan_eval = make_scan_eval_step(apply_fn, cfg)
-    if cfg.data.device_resident:
+    if cfg.data.device_resident and packed_model is None:
         gather = GatherSteps(
             train=make_gather_train_step(apply_fn, cfg, tx),
             eval=make_gather_eval_step(apply_fn, cfg),
@@ -265,7 +274,7 @@ def _init_and_steps(model, cfg: TrainConfig, train_data, kind: str,
                         if cfg.scan_steps > 1 else None),
             scan_eval=(make_gather_scan_eval_step(apply_fn, cfg)
                        if cfg.scan_steps > 1 else None))
-    return (state, make_train_step(apply_fn, cfg, tx),
+    return (state, make_train_step(train_apply_fn, cfg, tx),
             make_eval_step(apply_fn, cfg), scan_step, scan_eval, gather)
 
 
@@ -353,8 +362,9 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
     # index into them, so per-step host→device traffic is just [B] int32
     # rows (train.loop.DeviceData; measured ~25-50 MB/s tunnel H2D makes
     # streamed pixel batches cost more than the device step itself).
+    packing = cfg.data.pack_rows > 0 and kind == "text"
     dev_full_data = dev_test_data = None
-    if cfg.data.device_resident:
+    if cfg.data.device_resident and not packing:
         import jax
         from mpmc_tpu.train.loop import DeviceData
         pd = place_data if place_data is not None else jax.device_put
@@ -378,10 +388,30 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
                                    np.arange(len(t_ids), dtype=np.int64))
                         if dev_test_data is not None else dev_val)
         model = model_factory()
+        packed_plan = packed_model = None
+        if packing:
+            # Throughput mode (DataConfig.pack_rows): train on packed rows
+            # (~8 samples each on this corpus), eval unpacked; the packed
+            # model shares the plain model's parameter tree.
+            from mpmc_tpu.models.classifier import PackedTextClassifier
+            from mpmc_tpu.train.packed import PackedTrainPlan
+            packed_plan = PackedTrainPlan(
+                train_d, pack_len=train_d["text_ids"].shape[1],
+                rows_per_batch=cfg.data.pack_rows)
+            packed_model = PackedTextClassifier(cfg.model)
+            log.info("sequence packing: %d rows/epoch (budget), %d rows/"
+                     "batch, %d steps/epoch (vs %d unpacked)",
+                     packed_plan.row_budget, cfg.data.pack_rows,
+                     packed_plan.steps_per_epoch,
+                     (len(train_d["label"]) + cfg.data.batch_size - 1)
+                     // cfg.data.batch_size)
         (state, train_step, eval_step, scan_step, scan_eval,
          gather) = _init_and_steps(
             model, cfg, train_d, kind, augment=augment, grayscale=grayscale,
-            pretrained=pretrained, eval_transform_only=eval_transform_only)
+            pretrained=pretrained, eval_transform_only=eval_transform_only,
+            packed_model=packed_model,
+            steps_per_epoch=(packed_plan.steps_per_epoch
+                             if packed_plan else 0))
         state = place_state(state)
         prefix = os.path.join(out_dir, f"{name}_{cfg.team_name}")
         checkpointer = None
@@ -401,7 +431,8 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
                   checkpointer=checkpointer,
                   scan_train_step=scan_step, scan_eval_step=scan_eval,
                   put_stacked=put_stacked, gather_steps=gather,
-                  dev_train=dev_train, dev_test=dev_test, dev_val=dev_val)
+                  dev_train=dev_train, dev_test=dev_test, dev_val=dev_val,
+                  packed_plan=packed_plan)
         if checkpointer is not None:
             checkpointer.wait()
         results.append(res)
@@ -510,7 +541,8 @@ def _maybe_mlm_pretrain(cfg: TrainConfig, mcfg, tok, corpus_texts,
     os.makedirs(out_dir, exist_ok=True)
     mlm_path = os.path.join(out_dir, "mlm_encoder.npz")
     pretrain_and_save(mcfg.text, list(corpus_texts), tok, mlm_path,
-                      MLMConfig(epochs=cfg.mlm_epochs, seed=cfg.seed),
+                      MLMConfig(epochs=cfg.mlm_epochs, seed=cfg.seed,
+                                pack=cfg.mlm_pack),
                       max_len=seq_len)
     return (dataclasses.replace(pretrained, text=mlm_path)
             if pretrained else PretrainedSpec(text=mlm_path))

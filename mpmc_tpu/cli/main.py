@@ -141,7 +141,8 @@ def _cmd_train(args):
                       image_root=args.image_root,
                       batch_size=args.batch_size,
                       num_folds=args.num_folds,
-                      fold_over_train_plus_dev=(args.subtask == "2a"))
+                      fold_over_train_plus_dev=(args.subtask == "2a"),
+                      pack_rows=args.pack_rows)
     if args.small and args.subtask == "2a":
         model = ModelConfig.small_2a()
     elif args.small and args.subtask == "2c":
@@ -203,6 +204,7 @@ def _cmd_train(args):
                       embedding_optimizer=args.embedding_optimizer,
                       profile_dir=args.profile_dir,
                       mlm_epochs=args.mlm_epochs,
+                      mlm_pack=args.mlm_pack,
                       simclr_epochs=args.simclr_epochs)
     pretrained = PretrainedSpec(text=args.text_params,
                                 caption=args.caption_params,
@@ -707,6 +709,12 @@ def main(argv=None):
                    help=">1 fuses this many optimizer steps into one jitted "
                         "lax.scan dispatch (amortizes per-launch host "
                         "round-trips on remote TPU links)")
+    p.add_argument("--pack-rows", type=int, default=0,
+                   help="2A throughput mode: >0 trains on batches of this "
+                        "many sequence-PACKED rows (~8 samples each on this "
+                        "corpus) with segment-masked attention instead of "
+                        "--batch-size per-sample rows; eval stays unpacked "
+                        "(ops/packing.py)")
     p.add_argument("--image-arch", default=None,
                    help="image backbone from the 2B zoo (resnet18, "
                         "resnet50, resnext50_32x4d, seresnext50_32x4d, "
@@ -737,6 +745,10 @@ def main(argv=None):
                         "augmented, train/pretrain.py) and initializes the "
                         "text encoder from it — the no-external-weights "
                         "quality lever (ignored when --text-params is set)")
+    p.add_argument("--mlm-pack", action="store_true",
+                   help="sequence-pack the MLM corpus (segment-masked "
+                        "attention; objective unchanged, ~4x fewer rows "
+                        "per epoch at the 64-token MLM length)")
     p.add_argument("--simclr-epochs", type=int, default=0,
                    help=">0 runs SimCLR contrastive pretraining over the "
                         "train-split pixels (train/pretrain_image.py) and "

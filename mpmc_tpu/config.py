@@ -270,6 +270,15 @@ class DataConfig:
     # masked poolings (cls/mean/attention); 0 disables (max/cnn pooling and
     # the C28 simple preset's last-token semantics depend on pad length).
     seq_bucket_multiple: int = 64
+    # Sequence PACKING (text drivers): >0 trains on batches of this many
+    # packed rows instead of `batch_size` per-sample rows — each epoch's
+    # shuffled order is packed end-to-end into bucket-length rows with
+    # segment-masked attention (ops/packing.py, train/packed.py; the corpus
+    # averages ~15 tokens vs the 128 bucket, so one packed row carries ~8
+    # samples).  Throughput mode: per-sample numerics are exact, batch
+    # COMPOSITION changes (~8x more samples per optimizer step).  Eval stays
+    # unpacked.  Requires a masked pooling; forces the host-batch path.
+    pack_rows: int = 0
     # Device-resident dataset: upload each split's arrays to HBM once and
     # assemble every batch ON DEVICE (jitted index-gather inside the train/
     # eval step) — the host ships only [B] int32 row indices per step.  Over
@@ -378,6 +387,11 @@ class TrainConfig:
     # environments (the reference's quality comes from downloaded QARiB/
     # AraBERT weights, textmodel_example_task2A.py:41-44).
     mlm_epochs: int = 0
+    # Sequence-pack the MLM corpus (train/pretrain.py MLMConfig.pack):
+    # co-packed texts never attend each other so the objective is
+    # unchanged; rows per epoch drop by the corpus padding ratio (~4x at
+    # the 64-token MLM length).  mlm batch_size then counts packed rows.
+    mlm_pack: bool = False
     # SimCLR image-SSL pretraining (train/pretrain_image.py): when > 0 and
     # no external image checkpoint is given, the 2B/2C drivers first run
     # this many epochs of contrastive pretraining over the train-split

@@ -60,14 +60,17 @@ class PackedBatch:
 
 
 def pack_sequences(ids: np.ndarray, mask: np.ndarray, pack_len: int,
-                   num_rows: Optional[int] = None) -> PackedBatch:
+                   num_rows: Optional[int] = None,
+                   max_segments: Optional[int] = None) -> PackedBatch:
     """First-fit-decreasing packing of ``[B, S]`` padded ids into
     ``[R, pack_len]`` rows.
 
     Deterministic (stable sort by decreasing length, ties by index).
     Samples longer than ``pack_len`` are truncated to it.  ``num_rows``
     pins R for static-shape pipelines (raises if the packing needs more);
-    by default R is whatever first-fit-decreasing uses.
+    by default R is whatever first-fit-decreasing uses.  ``max_segments``
+    caps the samples per row (bounds the per-batch sample count of
+    fixed-shape training pipelines — ``train/packed.py``).
     """
     ids = np.asarray(ids)
     mask = np.asarray(mask)
@@ -81,10 +84,11 @@ def pack_sequences(ids: np.ndarray, mask: np.ndarray, pack_len: int,
     row_of = np.zeros(B, np.int32)
     slot_of = np.zeros(B, np.int32)
     start_of = np.zeros(B, np.int32)
+    cap = max_segments or B
     for b in order:
         L = int(lengths[b])
         for r, u in enumerate(used):
-            if u + L <= pack_len:
+            if u + L <= pack_len and slots[r] < cap:
                 break
         else:
             r = len(used)

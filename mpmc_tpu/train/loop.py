@@ -256,7 +256,8 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
         gather_steps=None,
         dev_train: Optional[DeviceData] = None,
         dev_test: Optional[DeviceData] = None,
-        dev_val: Optional[DeviceData] = None) -> FitResult:
+        dev_val: Optional[DeviceData] = None,
+        packed_plan=None) -> FitResult:
     """Epoch loop with the reference's cadence: loss/LR/grad-norm logging
     every ``log_every`` steps, eval ``cfg.eval_per_epoch`` times per epoch,
     best-test-F1-triggered TSV dump.
@@ -270,10 +271,18 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
     ``dev_test``/``dev_val`` (DeviceData) the splits are device-resident:
     batches are row-gathered in HBM and the host ships only int32 indices
     (+ the valid mask) per step — DataConfig.device_resident.
+
+    With ``packed_plan`` (train.packed.PackedTrainPlan) training batches are
+    groups of sequence-PACKED rows produced per epoch by the plan (eval
+    stays unpacked); ``train_step``/``scan_train_step`` must then be built
+    over the packed apply_fn (train.packed.make_packed_text_apply_fn).
     """
     bs = cfg.data.batch_size
     n_train = len(train_data["label"])
-    steps_per_epoch = (n_train + bs - 1) // bs
+    if packed_plan is not None:
+        steps_per_epoch = packed_plan.steps_per_epoch
+    else:
+        steps_per_epoch = (n_train + bs - 1) // bs
     check_interval = max(steps_per_epoch // max(cfg.eval_per_epoch, 1), 1)
     data_rng = np.random.default_rng(cfg.seed + fold)
     dropout_key = jax.random.key(cfg.seed + fold)
@@ -311,7 +320,11 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
             log.info("resuming at epoch %d/%d (restored step %d)",
                      start_epoch, cfg.epochs, step_count)
         for _ in range(start_epoch):
-            data_rng.shuffle(np.arange(n_train))
+            # Consume exactly what the epoch iterator would have drawn.
+            if packed_plan is not None:
+                data_rng.permutation(n_train)
+            else:
+                data_rng.shuffle(np.arange(n_train))
     from mpmc_tpu.utils.profiling import StepTimer
     timer = StepTimer()
     dispatch_no, prof_started, prof_done = 0, False, False
@@ -373,7 +386,10 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
         losses = []
-        if use_gather:
+        if packed_plan is not None:
+            step_it = packed_plan.epoch_iter(data_rng)
+            key_field = "label"
+        elif use_gather:
             # Only the shuffled row indices (and the valid mask) leave the
             # host; batch pixels/tokens are gathered from HBM in-step.
             step_it = batch_iter(
@@ -388,7 +404,8 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
             plan = _scan_group_plan(steps_per_epoch, check_interval, scan_k,
                                     eval_on=test_data is not None)
             grouped = _scan_groups(step_it, plan, scan_k)
-            base_ndim = 1 if use_gather else train_data[key_field].ndim
+            base_ndim = 1 if (use_gather or packed_plan is not None) \
+                else train_data[key_field].ndim
             put_fn = (lambda b: put_stacked(b)
                       if b[key_field].ndim == base_ndim + 1 else put(b))
         else:

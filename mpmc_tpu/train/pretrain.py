@@ -75,14 +75,21 @@ def _build_mlm_model(cfg: TextEncoderConfig):
 
     class MLMModel(nn.Module):
         """Encoder (submodule name ``encoder`` — the exact subtree the
-        classifier splice consumes) + BERT MLM transform/decoder head."""
+        classifier splice consumes) + BERT MLM transform/decoder head.
+        ``segments``/``positions`` enable sequence-packed rows
+        (ops/packing.py): co-packed texts never attend each other, so
+        packed MLM is numerically the same objective at ~padding-ratio×
+        fewer rows."""
         cfg: TextEncoderConfig
 
         @nn.compact
-        def __call__(self, ids, mask, train: bool = False):
+        def __call__(self, ids, mask, train: bool = False, segments=None,
+                     positions=None):
             c = self.cfg
             x = TextEncoder(c, name="encoder")(ids, mask,
-                                               deterministic=not train)
+                                               deterministic=not train,
+                                               segments=segments,
+                                               positions=positions)
             h = nn.Dense(c.hidden_size, name="mlm_transform")(x)
             h = nn.gelu(h, approximate=c.gelu_approx)
             h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="mlm_ln")(h)
@@ -145,6 +152,12 @@ class MLMConfig:
     scan_steps: int = 8              # optimizer steps per device dispatch
     char_noise_copies: int = 3       # corpus augmentation factor
     char_noise_word_prob: float = 0.15
+    # Sequence packing (ops/packing.py): pack the tokenized corpus once into
+    # full rows with segment-masked attention + per-segment positions.
+    # Co-packed texts never attend each other, so the MLM objective is
+    # unchanged — only ~padding-ratio× fewer rows per epoch.  batch_size
+    # then counts PACKED rows.
+    pack: bool = False
 
 
 def mlm_pretrain(text_cfg: TextEncoderConfig, ids: np.ndarray,
@@ -162,6 +175,17 @@ def mlm_pretrain(text_cfg: TextEncoderConfig, ids: np.ndarray,
     import jax
     import jax.numpy as jnp
     import optax
+
+    segments = positions = None
+    if mlm_cfg.pack:
+        from mpmc_tpu.ops.packing import pack_sequences
+        packed = pack_sequences(ids, mask, ids.shape[1])
+        log.info("MLM packing: %d texts -> %d rows of %d "
+                 "(%.1fx fewer rows)", ids.shape[0], packed.num_rows,
+                 ids.shape[1], ids.shape[0] / max(packed.num_rows, 1))
+        ids = packed.ids
+        segments, positions = packed.segments, packed.positions
+        mask = (segments > 0).astype(np.int32)
 
     n, L = ids.shape
     bs = min(mlm_cfg.batch_size, n)
@@ -186,7 +210,9 @@ def mlm_pretrain(text_cfg: TextEncoderConfig, ids: np.ndarray,
     params = variables["params"]
     opt_state = tx.init(params)
 
-    def step(params, opt_state, batch_ids, batch_mask, rng):
+    def step(params, opt_state, batch_ids, batch_mask, seg_pos, rng):
+        # ``seg_pos`` is {} (unpacked) or {"seg","pos"} packed-row arrays —
+        # an empty dict is a leafless pytree, so one scan body serves both.
         k_sel, k_kind, k_rand, k_drop = jax.random.split(rng, 4)
         real = (batch_mask == 1) & ~jnp.isin(batch_ids, special)
         sel = (jax.random.uniform(k_sel, batch_ids.shape)
@@ -200,7 +226,9 @@ def mlm_pretrain(text_cfg: TextEncoderConfig, ids: np.ndarray,
 
         def loss_fn(p):
             logits = model.apply({"params": p}, inp, batch_mask, train=True,
-                                 rngs={"dropout": k_drop})
+                                 rngs={"dropout": k_drop},
+                                 segments=seg_pos.get("seg"),
+                                 positions=seg_pos.get("pos"))
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             nll = -jnp.take_along_axis(logp, batch_ids[..., None],
                                        axis=-1)[..., 0]
@@ -214,15 +242,15 @@ def mlm_pretrain(text_cfg: TextEncoderConfig, ids: np.ndarray,
     k = max(min(mlm_cfg.scan_steps, steps_per_epoch), 1)
 
     @jax.jit
-    def scan_step(params, opt_state, b_ids, b_mask, rngs):
+    def scan_step(params, opt_state, b_ids, b_mask, b_seg_pos, rngs):
         def body(carry, xs):
             p, o = carry
-            bi, bm, r = xs
-            p, o, loss = step(p, o, bi, bm, r)
+            bi, bm, sp, r = xs
+            p, o, loss = step(p, o, bi, bm, sp, r)
             return (p, o), loss
 
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), (b_ids, b_mask, rngs))
+            body, (params, opt_state), (b_ids, b_mask, b_seg_pos, rngs))
         return params, opt_state, losses
 
     rng = np.random.default_rng(mlm_cfg.seed)
@@ -238,9 +266,12 @@ def mlm_pretrain(text_cfg: TextEncoderConfig, ids: np.ndarray,
                 rows = np.concatenate([rows, perm[:k * bs - len(rows)]])
             b_ids = ids[rows].reshape(k, bs, L)
             b_mask = mask[rows].reshape(k, bs, L)
+            b_seg_pos = ({"seg": segments[rows].reshape(k, bs, L),
+                          "pos": positions[rows].reshape(k, bs, L)}
+                         if segments is not None else {})
             key, sub = jax.random.split(key)
             params, opt_state, losses = scan_step(
-                params, opt_state, b_ids, b_mask,
+                params, opt_state, b_ids, b_mask, b_seg_pos,
                 jax.random.split(sub, k))
             pend.append(losses)
         ep_loss = float(np.mean(np.concatenate(

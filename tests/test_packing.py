@@ -176,6 +176,52 @@ def test_packed_multimodal_parity(rng):
             == jax.tree_util.tree_structure(variables["params"]))
 
 
+def test_packed_train_plan_covers_epoch(rng):
+    """Every sample appears exactly once per epoch with a correct local
+    row/slot map; shapes are static across batches and epochs."""
+    from mpmc_tpu.train.packed import PackedTrainPlan
+
+    ids, mask = _ragged_batch(rng, B=37, S=24)
+    labels = rng.integers(0, 2, 37).astype(np.int32)
+    plan = PackedTrainPlan({"text_ids": ids, "text_mask": mask,
+                            "label": labels}, pack_len=32, rows_per_batch=2,
+                           max_segments=8)
+    for _ in range(2):  # two epochs: budget must hold across shuffles
+        seen = 0
+        shapes = None
+        for batch, k in plan.epoch_iter(np.random.default_rng(0)):
+            cur = {name: v.shape for name, v in batch.items()}
+            assert shapes is None or cur == shapes
+            shapes = cur
+            seen += k
+            # every valid sample's tokens are where its map says
+            for j in range(k):
+                r, s0 = batch["t_row_of"][j], batch["t_start_of"][j]
+                assert batch["t_segments"][r, s0] == batch["t_slot_of"][j]
+            assert batch["valid"].sum() == k
+        assert seen == 37
+
+
+@pytest.mark.slow
+def test_cli_train_2a_packed(tmp_path):
+    """End-to-end 2A driver with --pack-rows: packed train steps + unpacked
+    eval emit the standard fold TSVs (production integration of
+    ops/packing.py, not a shelf feature)."""
+    import os
+
+    from mpmc_tpu.cli.main import main
+
+    DEV = "/root/reference/data/arabic_memes_propaganda_araieval_24_dev.json"
+    TRAIN = ("/root/reference/data/"
+             "arabic_memes_propaganda_araieval_24_train.json")
+    assert main(["train", "--subtask", "2a", "--small", "--epochs", "1",
+                 "--num-folds", "5", "--fold", "0", "--batch-size", "8",
+                 "--scan-steps", "2", "--pack-rows", "4",
+                 "-tr", TRAIN, "-te", DEV, "-o", str(tmp_path)]) == 0
+    tsvs = [f for f in os.listdir(tmp_path) if f.endswith(".tsv")]
+    assert any("probs_fold_0" in f for f in tsvs)
+
+
 def test_packed_rejects_unmasked_pooling(rng):
     mcfg, plain, packed_model = _model_pair(PoolingType.MAX)
     ids, mask = _ragged_batch(rng)

@@ -94,6 +94,23 @@ def test_mlm_loss_decreases_and_splices(corpus_tok, tmp_path):
     assert np.asarray(out).shape == (4, 2)
 
 
+@pytest.mark.slow
+def test_mlm_packed_learns_and_shrinks_rows(corpus_tok):
+    """MLMConfig.pack: sequence-packed corpus (ops/packing.py) — same
+    objective (co-packed texts never attend each other), ~3-4x fewer rows,
+    still learns, and the encoder subtree is intact."""
+    texts, tok = corpus_tok
+    vocab_size = max(tok.vocab.values()) + 1
+    cfg = _tiny_cfg(vocab_size)
+    ids, mask = tok.encode_batch(texts, 24)
+    enc, losses = mlm_pretrain(
+        cfg, ids, mask, tok,
+        MLMConfig(epochs=40, batch_size=8, learning_rate=2e-3,
+                  scan_steps=2, char_noise_copies=0, pack=True))
+    assert losses[-1] < losses[0] * 0.85
+    assert "word_embeddings" in enc and "layer_0" in enc
+
+
 def test_pretrain_and_save_end_to_end(corpus_tok, tmp_path):
     texts, tok = corpus_tok
     cfg = _tiny_cfg(max(tok.vocab.values()) + 1)
