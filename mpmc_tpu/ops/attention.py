@@ -63,11 +63,13 @@ def _attention_xla(q, k, v, mask, scale, segments=None):
     return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
 
 
-def _head_groups(H: int, per_head_bytes: int) -> int:
+def _head_groups(H: int, per_head_bytes: int, shared_bytes: int = 0) -> int:
     """Pick number of groups: smallest divisor count whose group size fits
-    the VMEM budget."""
+    the VMEM budget.  ``shared_bytes`` covers group-shared tiles (e.g. the
+    [Sq, Sk] f32 segment-bias tile) that don't scale with heads."""
     g = H  # group size
-    while g > 1 and (g * per_head_bytes > _VMEM_BUDGET or H % g):
+    while g > 1 and (g * per_head_bytes + shared_bytes > _VMEM_BUDGET
+                     or H % g):
         g -= 1
     while H % g:
         g -= 1
@@ -125,7 +127,9 @@ def _fwd_pallas(q, k, v, mask, mask_mode, scale):
     itemsize = q.dtype.itemsize
     lanes = max(D, 128)  # lane padding: D=64 tiles still occupy 128 lanes
     per_head = ((2 * Sq + 2 * Sk) * lanes * itemsize + Sq * Sk * 4)
-    groups = _head_groups(H, per_head)
+    # 'segments' builds a group-shared [Sq, Sk] f32 bias tile from the ids.
+    shared = Sq * Sk * 4 if mask_mode == "segments" else 0
+    groups = _head_groups(H, per_head, shared)
     gh = H // groups                              # heads per group
     ghp = ((gh + 7) // 8) * 8                     # lse sublane padding
     # Fold the 1/sqrt(D) scale into q here: XLA fuses the multiply into the
@@ -229,7 +233,14 @@ def _bwd_pallas(mask_mode, scale, residuals, g):
     itemsize = q.dtype.itemsize
     lanes = max(D, 128)
     per_head = ((4 * Sq + 4 * Sk) * lanes * itemsize + Sq * Sk * 4)
-    groups = _head_groups(H, per_head)
+    # 'segments' adds the group-shared [Sq, Sk] f32 bias plus the per-head
+    # exact-softmax recompute tiles (e and p) the backward keeps live.
+    if mask_mode == "segments":
+        per_head += 2 * Sq * Sk * 4
+        shared = Sq * Sk * 4
+    else:
+        shared = 0
+    groups = _head_groups(H, per_head, shared)
     gh = H // groups
     ghp = ((gh + 7) // 8) * 8
     lse = lse.reshape(B, groups, gh, Sq)
@@ -312,31 +323,41 @@ def _attention_ring(q, k, v, mask, scale, axis_name):
     """
     P = jax.lax.axis_size(axis_name)
     B, Sq, H, D = q.shape
-    qf = (q.astype(jnp.float32) * scale).transpose(0, 2, 1, 3)  # [B,H,Sq,D]
-    kb = k.astype(jnp.float32).transpose(0, 2, 1, 3)
-    vb = v.astype(jnp.float32).transpose(0, 2, 1, 3)
+    # Scale is folded into q in the INPUT dtype (as in the Pallas kernel) and
+    # K/V rotate around the ring in the input dtype too — bf16 halves ring
+    # bandwidth vs an up-front f32 upcast; the MXU takes bf16 operands with
+    # f32 accumulation, so scores are still f32-exact per block.
+    qs = (q * jnp.asarray(scale, q.dtype)).transpose(0, 2, 1, 3)  # [B,H,Sq,D]
+    kb = k.transpose(0, 2, 1, 3)
+    vb = v.transpose(0, 2, 1, 3)
     if mask is None:
         mb = jnp.ones((B, k.shape[1]), jnp.float32)
     else:
         mb = mask.astype(jnp.float32)
     perm = [(i, (i + 1) % P) for i in range(P)]
 
-    def body(carry, _):
-        acc, m, l, kb, vb, mb = carry
-        s = jax.lax.dot_general(qf, kb, (((3,), (3,)), ((0, 1), (0, 1))),
+    def block(acc, m, l, kb, vb, mb):
+        # One K/V block's flash-style accumulation (f32 running max/denom).
+        s = jax.lax.dot_general(qs, kb, (((3,), (3,)), ((0, 1), (0, 1))),
                                 preferred_element_type=jnp.float32)
         s = s + (1.0 - mb)[:, None, None, :] * _NEG_INF    # [B,H,Sq,Sk]
         new_m = jnp.maximum(m, jnp.max(s, axis=-1))        # [B,H,Sq]
         alpha = jnp.exp(m - new_m)                         # rescale old
         p = jnp.exp(s - new_m[..., None])
         l = l * alpha + jnp.sum(p, axis=-1)
-        pv = jax.lax.dot_general(p, vb, (((3,), (2,)), ((0, 1), (0, 1))))
+        pv = jax.lax.dot_general(p.astype(vb.dtype), vb,
+                                 (((3,), (2,)), ((0, 1), (0, 1))),
+                                 preferred_element_type=jnp.float32)
         acc = acc * alpha[..., None] + pv
-        if P > 1:
-            kb = jax.lax.ppermute(kb, axis_name, perm)
-            vb = jax.lax.ppermute(vb, axis_name, perm)
-            mb = jax.lax.ppermute(mb, axis_name, perm)
-        return (acc, new_m, l, kb, vb, mb), None
+        return acc, new_m, l
+
+    def body(carry, _):
+        acc, m, l, kb, vb, mb = carry
+        acc, m, l = block(acc, m, l, kb, vb, mb)
+        kb = jax.lax.ppermute(kb, axis_name, perm)
+        vb = jax.lax.ppermute(vb, axis_name, perm)
+        mb = jax.lax.ppermute(mb, axis_name, perm)
+        return (acc, m, l, kb, vb, mb), None
 
     # The rotating K/V/mask blocks are device-varying over the ring axis
     # from the first ppermute on — and the scan-carried accumulators become
@@ -344,7 +365,7 @@ def _attention_ring(q, k, v, mask, scale, axis_name):
     # composed (data, seq) mesh).  Mark freshly-created carry entries (the
     # running max/denominator literals, the all-ones mask) varying over the
     # same union so the scan carry types agree (see shard_map scan-vma).
-    target_vma = (set(jax.typeof(qf).vma) | set(jax.typeof(kb).vma)
+    target_vma = (set(jax.typeof(qs).vma) | set(jax.typeof(kb).vma)
                   | set(jax.typeof(mb).vma) | {axis_name})
 
     def var(x):
@@ -353,11 +374,16 @@ def _attention_ring(q, k, v, mask, scale, axis_name):
             return x
         return jax.lax.pcast(x, missing, to="varying")
 
-    init = (var(jnp.zeros_like(qf)),
-            var(jnp.full((B, H, Sq), -jnp.inf, jnp.float32)),
-            var(jnp.zeros((B, H, Sq), jnp.float32)),
-            var(kb), var(vb), var(mb))
-    (acc, _, l, *_), _ = jax.lax.scan(body, init, None, length=P)
+    acc = var(jnp.zeros(qs.shape, jnp.float32))
+    m = var(jnp.full((B, H, Sq), -jnp.inf, jnp.float32))
+    l = var(jnp.zeros((B, H, Sq), jnp.float32))
+    kb, vb, mb = var(kb), var(vb), var(mb)
+    if P > 1:
+        # Rotate on the first P-1 steps only; the final block consumes the
+        # last rotation's result without paying a wasted neighbour collective.
+        (acc, m, l, kb, vb, mb), _ = jax.lax.scan(
+            body, (acc, m, l, kb, vb, mb), None, length=P - 1)
+    acc, m, l = block(acc, m, l, kb, vb, mb)
     out = acc / l[..., None]
     return out.transpose(0, 2, 1, 3).astype(q.dtype)
 

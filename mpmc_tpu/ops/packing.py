@@ -75,7 +75,16 @@ def pack_sequences(ids: np.ndarray, mask: np.ndarray, pack_len: int,
     ids = np.asarray(ids)
     mask = np.asarray(mask)
     B = ids.shape[0]
-    lengths = np.minimum(mask.sum(axis=1).astype(np.int64), pack_len)
+    raw_lengths = mask.sum(axis=1).astype(np.int64)
+    # The packer copies ids[b, :L], which is only the sample's tokens if the
+    # mask is a contiguous prefix — reject left-padded / holey masks loudly
+    # instead of silently packing padding as content.
+    if not np.array_equal(
+            mask.astype(bool),
+            np.arange(mask.shape[1])[None, :] < raw_lengths[:, None]):
+        raise ValueError("pack_sequences requires right-padded prefix masks "
+                         "(mask rows must be 1…1 0…0)")
+    lengths = np.minimum(raw_lengths, pack_len)
     lengths = np.maximum(lengths, 1)  # degenerate empty rows still get a slot
     order = np.argsort(-lengths, kind="stable")
 

@@ -11,11 +11,13 @@ loss stays per-sample: every batch carries fixed-size per-sample maps
 UNPACKED through the existing eval steps (identical numerics; the packed and
 plain models share one parameter tree — ``models/classifier.py``).
 
-Static shapes: the per-epoch row count varies with the shuffle, so the plan
-fixes a row budget from the corpus token total (first-fit-decreasing packs
-within a few % of the ``ceil(total/pack_len)`` lower bound; the budget adds
-8% + 2 rows of slack and is asserted per epoch).  All-padding budget rows
-cost one row of masked attention and contribute nothing.
+Static shapes: first-fit-decreasing consumes samples in sorted-length
+order, so its row count depends only on the length MULTISET — identical
+for every shuffle of the same corpus.  ``__post_init__`` therefore packs
+the unshuffled corpus once and uses that exact row count as the per-epoch
+budget: no heuristic slack (a token-total bound underestimates FFD by up
+to 11/9 for adversarial length mixes), no wasted all-padding rows, and
+``pack_sequences(num_rows=...)`` can never raise mid-epoch.
 
 Semantics note: packing changes BATCH COMPOSITION (a batch is ~G·8.6
 co-packed samples instead of ``batch_size`` independent draws) — it is a
@@ -49,14 +51,12 @@ class PackedTrainPlan:
     max_segments: int = 16
 
     def __post_init__(self):
-        lengths = np.minimum(self.data["text_mask"].sum(axis=1),
-                             self.pack_len)
-        total = int(np.maximum(lengths, 1).sum())
-        lower = -(-total // self.pack_len)
-        # FFD packs within a few % of the lower bound; the cap on segments
-        # per row can force extra rows when many samples are tiny.
-        by_cap = -(-len(lengths) // self.max_segments)
-        self.row_budget = max(int(lower * 1.08) + 2, by_cap + 2)
+        # FFD's row count is a function of the length multiset only (it
+        # sorts by length before placing), so one unshuffled pack gives the
+        # EXACT row count every epoch_iter shuffle will need.
+        probe = pack_sequences(self.data["text_ids"], self.data["text_mask"],
+                               self.pack_len, max_segments=self.max_segments)
+        self.row_budget = probe.num_rows
         self.steps_per_epoch = -(-self.row_budget // self.rows_per_batch)
         self.samples_per_batch = self.rows_per_batch * self.max_segments
 
