@@ -734,12 +734,16 @@ def main(argv=None):
                    help="Adam first-moment dtype (bfloat16 halves its HBM "
                         "traffic; default f32 = torch parity)")
     p.add_argument("--embedding-optimizer", default="adam",
-                   choices=["adam", "factored"],
+                   choices=["adam", "factored", "sparse"],
                    help="optimizer for the [vocab, hidden] word-embedding "
                         "tables: 'factored' = momentum-free factored-RMS "
                         "(Adafactor accumulator) — drops their optimizer "
-                        "state from 2x[V,H] to [V]+[H], a big HBM saving "
-                        "on the optimizer-bound step (not torch parity)")
+                        "state from 2x[V,H] to [V]+[H]; 'sparse' = lazy "
+                        "row-Adam over only the vocab rows each step's "
+                        "gradient touches (torch-SparseAdam semantics) — "
+                        "removes the full-table optimizer pass entirely. "
+                        "Both are HBM levers on the optimizer-bound step "
+                        "(not torch parity)")
     p.add_argument("--mlm-epochs", type=int, default=0,
                    help=">0 runs corpus MLM pretraining (char-noise "
                         "augmented, train/pretrain.py) and initializes the "

@@ -325,6 +325,31 @@ class MeshConfig:
     # the non-data axis).
     num_model_shards: int = 1
     model_axis: str = "model"
+    # >1 pipelines the transformer layer stack over a trailing `stage` mesh
+    # axis (parallel/pp.py, GPipe schedule): each stage row holds 1/S of
+    # the encoder layers (per-chip transformer HBM scales 1/S), microbatch
+    # activations flow stage-to-stage through one neighbour ppermute per
+    # schedule tick, and the reverse schedule is the autodiff transpose.
+    # Driver mode for the 2A text model (`train --pipeline-stages`).
+    # DROPOUT TRADE: encoder-layer dropout runs DETERMINISTIC inside the
+    # pipelined region (flax rng plumbing doesn't cross shard_map);
+    # embedding dropout is live.  Mutually exclusive with fold/model/seq.
+    num_stage_shards: int = 1
+    stage_axis: str = "stage"
+    # Microbatches per pipeline flush; 0 = auto (4× stages — GPipe bubble
+    # fraction (S-1)/(M+S-1) ≤ ~20%).  Must divide the batch size.
+    pp_microbatches: int = 0
+    # >1 shards the transformer stack's ACTIVATIONS over a trailing `seq`
+    # mesh axis (parallel/sp.py): per-token ops stay local, attention mixes
+    # across shards via ring attention or Ulysses (mesh.sp_impl).  Driver
+    # mode for the 2A text model (`train --seq-shards`).  Same dropout
+    # trade as pipeline stages (layer dropout deterministic in-region).
+    num_seq_shards: int = 1
+    seq_axis: str = "seq"
+    # Sequence-parallel attention impl: "ring" (K/V blocks rotate via
+    # neighbour ppermute, nothing [S,S] materialized) or "ulysses" (two
+    # all_to_all re-shards, exact local attention over H/P heads).
+    sp_impl: str = "ring"
 
     @property
     def is_fold_parallel(self) -> bool:
@@ -335,6 +360,10 @@ class MeshConfig:
             return (self.fold_axis, self.data_axis)
         if self.num_model_shards > 1:
             return (self.data_axis, self.model_axis)
+        if self.num_stage_shards > 1:
+            return (self.data_axis, self.stage_axis)
+        if self.num_seq_shards > 1:
+            return (self.data_axis, self.seq_axis)
         return (self.data_axis,)
 
 
@@ -407,8 +436,20 @@ class TrainConfig:
     # Adafactor accumulator): per-table state drops from 2×[V,H] f32 to
     # [V]+[H], cutting the optimizer pass's HBM read-modify-write traffic
     # on an HBM-bound step (see BREAKDOWN.json roofline).  All other
-    # params stay on Adam.  Not bit-parity with the reference — opt-in.
+    # params stay on Adam.  "sparse" = lazy row-Adam (train/sparse_opt.py):
+    # exact Adam on only the ≤embedding_support_rows vocab rows each step's
+    # gradient touches (torch SparseAdam semantics — untouched rows frozen);
+    # the optimizer's full-table read-modify-write disappears entirely.
+    # All other params stay on Adam.  Neither is bit-parity with the
+    # reference — opt-in.
     embedding_optimizer: str = "adam"
+    # Static per-step touched-row bound for embedding_optimizer == "sparse".
+    # Must be ≥ the distinct vocab rows one optimizer step can touch (the
+    # batch's token count bounds it: batch_size × padded seq len, per
+    # table).  The drivers raise it automatically when the batch shape
+    # needs more.  Rows beyond the bound (smallest gradient norms) would be
+    # skipped for that step.
+    embedding_support_rows: int = 4096
     # Dispatch amortization: fuse this many optimizer steps into ONE jitted
     # lax.scan dispatch (train/step.make_scan_train_step).  Over a remote
     # TPU link each executable launch costs a host round-trip; scanning K

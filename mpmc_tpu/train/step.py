@@ -27,6 +27,7 @@ from flax import struct
 
 from mpmc_tpu.config import LossType, TrainConfig
 from mpmc_tpu.ops.losses import sigmoid_focal_loss, softmax_cross_entropy
+from mpmc_tpu.train import sparse_opt
 from mpmc_tpu.utils.tree import path_str
 
 
@@ -85,8 +86,8 @@ def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransfor
     mu_dtype = cfg.adam_mu_dtype  # e.g. "bfloat16" halves mu HBM traffic
     transforms = {"head": optax.adam(head_sched, mu_dtype=mu_dtype),
                   "encoder": optax.adam(enc_sched, mu_dtype=mu_dtype)}
-    factored_embed = cfg.embedding_optimizer == "factored"
-    if factored_embed:
+    embed_mode = cfg.embedding_optimizer
+    if embed_mode == "factored":
         # The word-embedding tables get momentum-free factored-RMS: the
         # Adafactor second-moment accumulator ([V]+[H] row/col factors
         # instead of a [V,H] nu, and no mu at all), at the encoder-group
@@ -95,20 +96,38 @@ def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransfor
         transforms["embed"] = optax.chain(
             optax.scale_by_factored_rms(),
             optax.scale_by_learning_rate(enc_sched))
+    elif embed_mode == "sparse":
+        # Lazy row-Adam (train/sparse_opt.py): the tables' grads pass the
+        # clip + multi_transform untouched, then the wrapper below swaps
+        # them for K-row SparseRows updates — only the touched vocab rows
+        # are read/written anywhere in the optimizer.
+        transforms["embed"] = optax.identity()
 
     def _label(path):
         joined = path_str(path)
-        if factored_embed and "word_embeddings" in joined:
+        if embed_mode != "adam" and "word_embeddings" in joined:
             return "embed"
         return _param_group(path)
 
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip_norm),
         optax.multi_transform(
             transforms,
             lambda params: jax.tree_util.tree_map_with_path(
                 lambda path, _: _label(path), params)),
     )
+    if embed_mode == "sparse":
+        from mpmc_tpu.train.sparse_opt import with_sparse_embeddings
+        # One step can touch at most batch_size × padded-seq-len distinct
+        # rows per table; take the config's upper bound (bucketing only
+        # shrinks it) so no gradient row is ever skipped.
+        rows = max(cfg.data.batch_size, cfg.data.pack_rows)
+        per_step = rows * max(cfg.model.max_text_len or 1,
+                              cfg.model.max_caption_len or 1)
+        tx = with_sparse_embeddings(
+            tx, enc_sched,
+            support_rows=max(cfg.embedding_support_rows, per_step))
+    return tx
 
 
 def create_train_state(variables: Dict, tx: optax.GradientTransformation
@@ -188,7 +207,7 @@ def build_train_step_fn(apply_fn: ApplyFn, cfg: TrainConfig,
         grads = _cast_floats(grads, jnp.float32)
         grad_norm = optax.global_norm(grads)  # pre-clip probe (reference :713)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        new_params = sparse_opt.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=new_params,
                                batch_stats=_cast_floats(new_stats, jnp.float32),
                                opt_state=new_opt)
