@@ -186,6 +186,10 @@ def _cmd_train(args):
     mesh = MeshConfig(num_fold_shards=args.fold_shards,
                       num_data_shards=args.data_shards,
                       num_model_shards=args.model_shards,
+                      num_stage_shards=args.pipeline_stages,
+                      pp_microbatches=args.pp_microbatches,
+                      num_seq_shards=args.seq_shards,
+                      sp_impl=args.sp_impl,
                       fold_parallel=args.fold_parallel)
     # C21 hyperparameter fidelity: the 2A flagship trains with
     # ``scheduler = None`` (textmodel_example_task2A.py:574-576), so 2A
@@ -417,11 +421,21 @@ def _cmd_predict(args):
     if args.checkpoint:
         from mpmc_tpu.train.checkpoint import Checkpointer
         ckpt = Checkpointer(args.checkpoint)
-        if ckpt.manager.latest_step() is None:
+        raw = ckpt.restore_raw_latest()
+        if raw is None:
             raise SystemExit(
                 f"no checkpoint found under {args.checkpoint} — "
                 f"did you mean a fold subdir (e.g. {args.checkpoint}/fold_0)?")
-        state = ckpt.restore_latest(state)
+        params = raw["params"]
+        if isinstance(params, dict) and set(params) == {"rest", "stages"}:
+            # Pipeline-parallel checkpoint (train --pipeline-stages): merge
+            # the stage-split layer stack back into the plain tree for
+            # single-device inference (parallel/pp.py).
+            from mpmc_tpu.parallel.pp import merge_stage_params
+            params = merge_stage_params(params["rest"], params["stages"])
+        state = state.replace(
+            params=params,
+            batch_stats=raw.get("batch_stats") or state.batch_stats)
 
     # Full-manifest inference through run_eval: deferred host sync, and with
     # --scan-steps > 1 batches are grouped into single scan-fused dispatches.
@@ -772,6 +786,30 @@ def main(argv=None):
                         "the per-layer all-reduces over ICI). For encoders "
                         "too large for one chip; mutually exclusive with "
                         "--fold-shards/--fold-parallel")
+    p.add_argument("--pipeline-stages", type=int, default=1,
+                   help=">1 pipelines the 2A text encoder's layer stack "
+                        "over a trailing `stage` mesh axis (GPipe "
+                        "schedule, parallel/pp.py): each stage row holds "
+                        "1/S of the layers; microbatch activations flow "
+                        "stage-to-stage via neighbour ppermute over ICI. "
+                        "Checkpoints use the stage-split param layout. "
+                        "Encoder-layer dropout runs deterministic inside "
+                        "the pipelined region")
+    p.add_argument("--pp-microbatches", type=int, default=0,
+                   help="microbatches per pipeline flush (0 = 4x stages); "
+                        "must divide --batch-size")
+    p.add_argument("--seq-shards", type=int, default=1,
+                   help=">1 shards the 2A text encoder's activations over "
+                        "a trailing `seq` mesh axis (parallel/sp.py): "
+                        "per-token ops stay local, attention mixes across "
+                        "shards via --sp-impl. Same checkpoints as plain "
+                        "training. Encoder-layer dropout runs "
+                        "deterministic inside the SP region")
+    p.add_argument("--sp-impl", default="ring",
+                   choices=["ring", "ulysses"],
+                   help="sequence-parallel attention: 'ring' rotates K/V "
+                        "blocks via neighbour ppermute; 'ulysses' swaps "
+                        "sequence for head sharding with two all_to_all")
     p.add_argument("--fold-shards", type=int, default=1,
                    help=">1 trains all folds simultaneously, sharding the "
                         "stacked fold axis over this many devices (must "

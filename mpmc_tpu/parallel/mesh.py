@@ -29,6 +29,15 @@ def make_mesh(cfg: Optional[MeshConfig] = None,
     cfg = cfg or MeshConfig()
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    exclusive = [("tensor-parallel", cfg.num_model_shards),
+                 ("pipeline-parallel", cfg.num_stage_shards),
+                 ("sequence-parallel", cfg.num_seq_shards)]
+    active = [name for name, extent in exclusive if extent > 1]
+    if len(active) > 1 or (active and cfg.is_fold_parallel):
+        raise ValueError(
+            "mutually exclusive parallelism modes requested: "
+            + ", ".join(active + (["fold-parallel"]
+                                  if cfg.is_fold_parallel else [])))
     if cfg.is_fold_parallel:
         if cfg.num_model_shards > 1:
             raise ValueError("fold-parallel and tensor-parallel are "
@@ -57,6 +66,24 @@ def make_mesh(cfg: Optional[MeshConfig] = None,
         shape = (dp, cfg.num_model_shards)
         return Mesh(np.asarray(devices[:need]).reshape(shape),
                     cfg.axis_names())
+    for extent, label in ((cfg.num_stage_shards, "pipeline stages"),
+                          (cfg.num_seq_shards, "sequence shards")):
+        if extent > 1:
+            # (data, stage) / (data, seq): like TP, the parallelism axis is
+            # innermost so its per-layer collectives (neighbour ppermute /
+            # all_to_all) ride adjacent-chip ICI.
+            if cfg.num_data_shards > 1:
+                dp = cfg.num_data_shards
+            else:
+                if n % extent:
+                    raise ValueError(
+                        f"{n} devices not divisible by {extent} {label}")
+                dp = n // extent
+            need = dp * extent
+            if n < need:
+                raise ValueError(f"{n} devices < data x {label} = {need}")
+            return Mesh(np.asarray(devices[:need]).reshape(dp, extent),
+                        cfg.axis_names())
     if cfg.num_data_shards > 1:
         if n < cfg.num_data_shards:
             raise ValueError(

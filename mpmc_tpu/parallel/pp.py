@@ -190,6 +190,49 @@ def make_pp_forward(mcfg: ModelConfig, mesh: Mesh, num_stages: int,
     return forward
 
 
+def make_pp_apply_fn(mcfg: ModelConfig, mesh: Mesh, num_stages: int,
+                     num_microbatches: int, attn_impl: str = "auto",
+                     stage_axis: str = "stage", data_axis: str = "data"):
+    """DRIVER-MODE apply_fn: the 2A ``TextClassifier`` forward with its
+    layer stack pipelined, pluggable into ``build_train_step_fn`` (real
+    focal/CE loss + valid masking + grouped-LR optimizer), the eval steps,
+    TSV emission and checkpointing — ``train --pipeline-stages K``.
+
+    The variables carry the SPLIT tree ``{"rest": ..., "stages": ...}``
+    (``split_stage_params``; each stage row holds 1/S of the encoder —
+    that 1/S per-chip HBM is the point of PP, so the stacked layout IS the
+    checkpoint layout; ``merge_stage_params`` converts back for plain
+    restore).  Embedding dropout runs live via the flax rng; encoder-layer
+    dropout is DETERMINISTIC inside the pipelined region — the documented
+    trade (MeshConfig.num_stage_shards).
+    """
+    M = num_microbatches
+    enc = TextEncoder(mcfg.text, attn_impl)
+    pooler = Pooler(mcfg.pooling, mcfg.text.hidden_size)
+    head = nn.Dense(mcfg.num_classes)
+    pipeline = make_pipeline_fn(mcfg.text, mesh, num_stages, M, attn_impl,
+                                stage_axis, data_axis)
+
+    def apply_fn(variables, batch, train, rngs, mutable):
+        params = variables["params"]
+        rest, stages = params["rest"], params["stages"]
+        ids, mask = batch["text_ids"], batch["text_mask"]
+        B, S_seq = ids.shape
+        if B % M:
+            raise ValueError(f"batch {B} not divisible by "
+                             f"num_microbatches={M}")
+        x = enc.apply({"params": rest["encoder"]}, ids, mask,
+                      deterministic=not train, method="embed",
+                      rngs=rngs if train else None)
+        xs = x.reshape(M, B // M, S_seq, x.shape[-1])
+        masks = mask.astype(jnp.float32).reshape(M, B // M, S_seq)
+        h = pipeline(stages, xs, masks).reshape(B, S_seq, x.shape[-1])
+        pooled = pooler.apply({"params": rest.get("pooler", {})}, h, mask)
+        return head.apply({"params": rest["output"]}, pooled), {}
+
+    return apply_fn
+
+
 def place_pp_params(rest: dict, stage_stack, mesh: Mesh,
                     stage_axis: str = "stage"):
     """Device placement: stage stack sharded ``P(stage)`` (each stage row

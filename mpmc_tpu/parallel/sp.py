@@ -107,6 +107,44 @@ def make_sp_forward(mcfg: ModelConfig, mesh: Mesh, impl: str = "ring",
     return forward
 
 
+def make_sp_apply_fn(mcfg: ModelConfig, mesh: Mesh, impl: str = "ring",
+                     seq_axis: str = "seq", data_axis: str = "data"):
+    """DRIVER-MODE apply_fn: the 2A ``TextClassifier`` forward with its
+    layer stack sequence-sharded, pluggable into ``build_train_step_fn``
+    (real focal/CE loss + valid masking + grouped-LR optimizer), the eval
+    steps, TSV emission and checkpointing — ``train --seq-shards K``.
+
+    Identical parameter tree to the plain ``TextClassifier``, so orbax
+    checkpoints, MLM-pretrained splicing and ``predict`` restore work
+    unchanged.  Embedding dropout runs live via the flax rng; encoder-layer
+    dropout is DETERMINISTIC inside the SP region — the documented trade
+    (MeshConfig.num_seq_shards).
+    """
+    c = mcfg.text
+    enc = TextEncoder(c)
+    pooler = Pooler(mcfg.pooling, c.hidden_size)
+    head = nn.Dense(mcfg.num_classes)
+    stack = make_sp_stack(c, mesh, impl, seq_axis, data_axis)
+    n_seq = mesh.shape[seq_axis]
+
+    def apply_fn(variables, batch, train, rngs, mutable):
+        params = variables["params"]
+        ids, mask = batch["text_ids"], batch["text_mask"]
+        if ids.shape[1] % n_seq:
+            raise ValueError(f"sequence length {ids.shape[1]} not divisible "
+                             f"by seq-axis size {n_seq}")
+        x = enc.apply({"params": params["encoder"]}, ids, mask,
+                      deterministic=not train, method="embed",
+                      rngs=rngs if train else None)
+        layer_params = {k: v for k, v in params["encoder"].items()
+                        if k.startswith("layer_")}
+        h = stack(layer_params, x, mask.astype(jnp.float32))
+        pooled = pooler.apply({"params": params.get("pooler", {})}, h, mask)
+        return head.apply({"params": params["output"]}, pooled), {}
+
+    return apply_fn
+
+
 def place_sp_params(params, mesh: Mesh):
     """SP shards *activations*, not weights: params (and the optimizer state
     created from them) are replicated over the whole mesh."""

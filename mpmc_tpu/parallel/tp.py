@@ -87,35 +87,46 @@ def spec_for_path(path, model_axis: str = "model") -> P:
     return P()
 
 
-def shard_state(state, mesh: Mesh, model_axis: str = "model"):
+def shard_state(state, mesh: Mesh, model_axis: str = "model",
+                leading_axes: tuple = ()):
     """Place a TrainState (params + mirrored optimizer state + scalars) on
     the mesh with Megatron TP shardings; non-matching leaves replicate.
 
     Leaves whose sharded dimension does not divide the mesh extent fall
     back to replication with a warning (e.g. a fusion head whose width is
     not a multiple of the model-axis size) — correctness never depends on
-    a rule matching."""
+    a rule matching.
+
+    ``leading_axes`` composes TP with stacked-leading-dim layouts: e.g.
+    ``("fold",)`` for fold-parallel stacked states ([F, ...] leaves) shards
+    dim 0 over ``fold`` AND the rule's dims (shifted right by one) over
+    ``model`` — the 3-D ``(fold, data, model)`` mesh."""
     axis_size = mesh.shape[model_axis]
+    lead = tuple(leading_axes)
 
     def place(path, x):
         spec = spec_for_path(path, model_axis)
-        if spec != P():
+        if lead:
+            spec = P(*lead, *spec) if spec != P() else P(*lead)
+        if any(ax == model_axis for ax in spec if ax is not None):
             if getattr(x, "ndim", 0) < len(spec):
                 # A lower-rank leaf at a matching path — e.g. factored-RMS
                 # v_row/v_col accumulators [H]/[V] under
                 # word_embeddings/embedding.  Expected; replicate quietly.
                 log.debug("tp: %s rank %d < rule rank %d — replicating",
                           _path_str(path), getattr(x, "ndim", 0), len(spec))
-                spec = P()
+                spec = P(*lead) if lead else P()
             else:
                 for dim, name in enumerate(spec):
-                    if name is not None and x.shape[dim] % axis_size:
+                    if name == model_axis and x.shape[dim] % axis_size:
                         log.warning(
                             "tp: %s shape %s not divisible by %s=%d — "
                             "replicating", _path_str(path),
                             getattr(x, "shape", ()), model_axis, axis_size)
-                        spec = P()
+                        spec = P(*lead) if lead else P()
                         break
+        if lead and getattr(x, "ndim", 0) < len(lead):
+            spec = P()  # scalars (step counters) can't carry the fold axis
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, state)

@@ -51,5 +51,22 @@ class Checkpointer:
         log.info("restored checkpoint @ step %d", step)
         return restored
 
+    def restore_raw_latest(self) -> Optional[Dict]:
+        """Restore the newest checkpoint WITHOUT a structure template —
+        returns the raw pytree (nested dicts of arrays) or None.
+
+        Inference restores go through this: predict only needs params +
+        batch_stats, and pinning the full TrainState structure would
+        refuse checkpoints whose optimizer state differs from the predict
+        default (``--embedding-optimizer factored/sparse``) or whose param
+        layout is stage-split (``--pipeline-stages``, parallel/pp.py)."""
+        step = self.manager.latest_step()
+        if step is None:
+            return None
+        restored = self.manager.restore(
+            step, args=self._ocp.args.StandardRestore())
+        log.info("restored checkpoint @ step %d (raw)", step)
+        return restored
+
     def wait(self) -> None:
         self.manager.wait_until_finished()

@@ -105,6 +105,139 @@ class PackedTrainPlan:
                     "valid": valid}, k)
 
 
+@dataclasses.dataclass
+class PackedMultimodalPlan:
+    """Per-batch packing for the 2C multimodal driver (``train --subtask 2c
+    --pack-rows``): every training batch keeps the SAME ``batch_size``
+    samples as unpacked training (image branch per-sample, loss/valid
+    semantics identical — numerics are exactly the plain step's,
+    parity-tested on ``PackedMultimodalClassifier``), but the text and
+    caption tokens of those samples are packed into ``[R, pack_len]`` rows
+    (FFD + segment-masked attention), so both text towers run ~padding-ratio
+    fewer transformer rows.
+
+    Static shapes: the row budget is the max FFD row count over the current
+    epoch's batches (rounded up to even), kept monotone across epochs — a
+    later epoch needing one more row recompiles once; within an epoch every
+    batch is padded to the same budget so scan-fused stacking applies.
+    """
+
+    data: Dict[str, np.ndarray]
+    batch_size: int
+
+    def __post_init__(self):
+        n = len(self.data["label"])
+        self.steps_per_epoch = -(-n // self.batch_size)
+        self.has_caption = "caption_ids" in self.data
+        self.text_len = int(self.data["text_ids"].shape[1])
+        self.caption_len = (int(self.data["caption_ids"].shape[1])
+                            if self.has_caption else 0)
+        self._budget_t = 2
+        self._budget_c = 2
+
+    @staticmethod
+    def _ffd_rows(mask_rows, pack_len) -> int:
+        lengths = np.maximum(
+            np.minimum(mask_rows.sum(axis=1), pack_len), 1)
+        packed = pack_sequences(
+            np.zeros((len(lengths), pack_len), np.int32),
+            (np.arange(pack_len)[None, :] < lengths[:, None]), pack_len)
+        return packed.num_rows
+
+    def _pad_rows(self, packed, budget):
+        pad = budget - packed.ids.shape[0]
+        if pad < 0:
+            raise ValueError("packed rows exceed the epoch budget")
+        return (np.pad(packed.ids, ((0, pad), (0, 0))),
+                np.pad(packed.segments, ((0, pad), (0, 0))),
+                np.pad(packed.positions, ((0, pad), (0, 0))))
+
+    def epoch_iter(self, rng: np.random.Generator,
+                   ) -> Iterator[Tuple[Dict[str, np.ndarray], int]]:
+        d = self.data
+        n = len(d["label"])
+        bs = self.batch_size
+        idx = rng.permutation(n)
+        starts = list(range(0, n, bs))
+        # Pin this epoch's (even, monotone) row budgets before yielding so
+        # every batch shares one static shape.
+        takes = []
+        for start in starts:
+            take = idx[start:start + bs]
+            if len(take) < bs:
+                take = np.concatenate([take, np.resize(idx, bs - len(take))])
+            takes.append((take, min(bs, n - start)))
+        bt = max(self._ffd_rows(d["text_mask"][t], self.text_len)
+                 for t, _ in takes)
+        self._budget_t = max(self._budget_t, bt + (bt % 2))
+        if self.has_caption:
+            bc = max(self._ffd_rows(d["caption_mask"][t], self.caption_len)
+                     for t, _ in takes)
+            self._budget_c = max(self._budget_c, bc + (bc % 2))
+        for take, k in takes:
+            batch = {kk: d[kk][take] for kk in d
+                     if kk not in ("text_ids", "text_mask",
+                                   "caption_ids", "caption_mask")}
+            tp = pack_sequences(d["text_ids"][take], d["text_mask"][take],
+                                self.text_len)
+            ids, segs, poss = self._pad_rows(tp, self._budget_t)
+            batch.update(t_ids=ids, t_segments=segs, t_positions=poss,
+                         t_row_of=tp.row_of, t_slot_of=tp.slot_of,
+                         t_start_of=tp.start_of)
+            if self.has_caption:
+                cp = pack_sequences(d["caption_ids"][take],
+                                    d["caption_mask"][take],
+                                    self.caption_len)
+                cids, csegs, cposs = self._pad_rows(cp, self._budget_c)
+                batch.update(c_ids=cids, c_segments=csegs,
+                             c_positions=cposs, c_row_of=cp.row_of,
+                             c_slot_of=cp.slot_of, c_start_of=cp.start_of)
+            batch["valid"] = (np.arange(bs) < k).astype(np.float32)
+            yield batch, k
+
+
+def make_packed_multimodal_apply_fn(packed_model, augment_images: bool = False,
+                                    grayscale: bool = False,
+                                    eval_transform_only: bool = False):
+    """Adapter from the :class:`PackedMultimodalPlan` batch layout to
+    ``PackedMultimodalClassifier`` — plugs into ``build_train_step_fn``
+    unchanged; mirrors ``cli.experiments.make_apply_fn``'s on-device image
+    augmentation for uint8 batches."""
+
+    def apply_fn(variables, batch, train, rngs, mutable):
+        img = batch["image"]
+        if augment_images:
+            import jax as _jax
+            import jax.numpy as _jnp
+            from mpmc_tpu.image.augment import eval_preprocess, train_augment
+            if train and not eval_transform_only:
+                img = train_augment(rngs["augment"], img)
+            else:
+                img = eval_preprocess(img, grayscale=grayscale)
+            leaves = _jax.tree_util.tree_leaves(variables["params"])
+            if leaves and leaves[0].dtype == _jnp.bfloat16:
+                img = img.astype(_jnp.bfloat16)
+        text_packed = {"ids": batch["t_ids"],
+                       "segments": batch["t_segments"],
+                       "positions": batch["t_positions"],
+                       "row_of": batch["t_row_of"],
+                       "slot_of": batch["t_slot_of"],
+                       "start_of": batch["t_start_of"]}
+        caption_packed = None
+        if "c_ids" in batch:
+            caption_packed = {"ids": batch["c_ids"],
+                              "segments": batch["c_segments"],
+                              "positions": batch["c_positions"],
+                              "row_of": batch["c_row_of"],
+                              "slot_of": batch["c_slot_of"],
+                              "start_of": batch["c_start_of"]}
+        out = packed_model.apply(variables, text_packed, img, caption_packed,
+                                 train=train, rngs=rngs, mutable=mutable)
+        return out if isinstance(out, tuple) else (out, {})
+
+    return apply_fn
+
+
 def make_packed_text_apply_fn(packed_model):
     """Adapter from the packed batch layout to ``PackedTextClassifier`` —
     plugs into ``build_train_step_fn``/``make_scan_train_step`` unchanged."""

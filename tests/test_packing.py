@@ -229,3 +229,117 @@ def test_packed_rejects_unmasked_pooling(rng):
               pack_sequences(ids, mask, pack_len=32).asdict().items()}
     with pytest.raises(ValueError, match="unmasked"):
         packed_model.init(jax.random.key(0), packed)
+
+
+def test_packed_multimodal_plan_batches(rng):
+    """PackedMultimodalPlan (2C --pack-rows): every batch carries exactly
+    batch_size samples (identical composition to unpacked), the packed
+    text/caption maps reconstruct those samples, and shapes are static
+    within an epoch."""
+    from mpmc_tpu.train.packed import (PackedMultimodalPlan,
+                                       make_packed_multimodal_apply_fn)
+
+    mcfg = ModelConfig.tiny_2c()
+    B, n = 6, 21
+    ids, mask = _ragged_batch(rng, B=n, S=mcfg.max_text_len, min_len=3,
+                              max_len=mcfg.max_text_len - 2)
+    cap_ids, cap_mask = _ragged_batch(rng, B=n, S=mcfg.max_caption_len,
+                                      vocab=mcfg.caption.vocab_size,
+                                      min_len=2,
+                                      max_len=mcfg.max_caption_len - 2)
+    img = rng.random((n, mcfg.image.image_size, mcfg.image.image_size, 3)
+                     ).astype(np.float32)
+    labels = rng.integers(0, 2, n).astype(np.int32)
+    data = {"text_ids": ids, "text_mask": mask, "caption_ids": cap_ids,
+            "caption_mask": cap_mask, "image": img, "label": labels}
+    plan = PackedMultimodalPlan(data, batch_size=B)
+    assert plan.steps_per_epoch == -(-n // B)
+
+    plain = MultimodalClassifier(mcfg)
+    variables = plain.init(jax.random.key(0), ids[:2], mask[:2], img[:2],
+                           cap_ids[:2], cap_mask[:2])
+    apply_fn = make_packed_multimodal_apply_fn(
+        PackedMultimodalClassifier(mcfg))
+    seen, shapes = 0, None
+    for batch, k in plan.epoch_iter(np.random.default_rng(1)):
+        cur = {name: v.shape for name, v in batch.items()}
+        assert shapes is None or cur == shapes
+        shapes = cur
+        assert batch["image"].shape[0] == B and batch["label"].shape == (B,)
+        seen += k
+        # exact per-sample numerics vs the plain model on the same batch
+        out, _ = apply_fn(variables, batch, train=False, rngs=None,
+                          mutable=[])
+        # rebuild the unpacked rows of this batch from the packed maps
+        un_ids = np.zeros((B, mcfg.max_text_len), np.int32)
+        un_mask = np.zeros((B, mcfg.max_text_len), np.int32)
+        for j in range(B):
+            r, s0 = batch["t_row_of"][j], batch["t_start_of"][j]
+            seg = batch["t_slot_of"][j]
+            sel = batch["t_segments"][r] == seg
+            L = int(sel.sum())
+            tok = batch["t_ids"][r][sel]
+            un_ids[j, :L] = tok
+            un_mask[j, :L] = 1
+        un_cids = np.zeros((B, mcfg.max_caption_len), np.int32)
+        un_cmask = np.zeros((B, mcfg.max_caption_len), np.int32)
+        for j in range(B):
+            r = batch["c_row_of"][j]
+            sel = batch["c_segments"][r] == batch["c_slot_of"][j]
+            L = int(sel.sum())
+            un_cids[j, :L] = batch["c_ids"][r][sel]
+            un_cmask[j, :L] = 1
+        ref = plain.apply(variables, un_ids, un_mask, batch["image"],
+                          un_cids, un_cmask, train=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+    assert seen == n
+
+
+@pytest.mark.slow
+def test_cli_train_2c_packed(tmp_path):
+    """End-to-end 2C driver with --pack-rows: packed text+caption train
+    steps + unpacked eval emit the standard fold TSVs."""
+    import os
+
+    from mpmc_tpu.cli.main import main
+
+    DEV = "/root/reference/data/arabic_memes_propaganda_araieval_24_dev.json"
+    TRAIN = ("/root/reference/data/"
+             "arabic_memes_propaganda_araieval_24_train.json")
+    assert main(["train", "--subtask", "2c", "--small", "--epochs", "1",
+                 "--num-folds", "5", "--fold", "0", "--batch-size", "8",
+                 "--pack-rows", "1",
+                 "-tr", TRAIN, "-te", DEV, "-o", str(tmp_path)]) == 0
+    tsvs = [f for f in os.listdir(tmp_path) if f.endswith(".tsv")]
+    assert any("probs_fold_0" in f for f in tsvs)
+
+
+def test_pack_rows_warns_for_unsupported_kind(tmp_path, caplog):
+    """--pack-rows with a driver that can't pack (2B image) warns instead
+    of silently ignoring the flag (ADVICE r3 #4)."""
+    import dataclasses as _dc
+    import logging
+
+    from mpmc_tpu.cli.experiments import _run_folds
+    from mpmc_tpu.config import (DataConfig, LossType, ModelConfig,
+                                 TrainConfig)
+    from mpmc_tpu.models import ImageClassifier
+
+    mcfg = ModelConfig.tiny_2c()
+    n = 16
+    r = np.random.default_rng(0)
+    data = {"image": r.random((n, mcfg.image.image_size,
+                               mcfg.image.image_size, 3)).astype(np.float32),
+            "label": r.integers(0, 2, n).astype(np.int32)}
+    cfg = TrainConfig(model=mcfg,
+                      data=DataConfig(batch_size=8, num_folds=2,
+                                      pack_rows=4),
+                      epochs=1, loss=LossType.CROSS_ENTROPY)
+    with caplog.at_level(logging.WARNING):
+        # folds=[5] (out of range) skips training — the warning fires in
+        # the driver preamble, which is what's under test.
+        _run_folds(cfg, lambda: ImageClassifier(mcfg), "image", data,
+                   [f"d/x_{i}.jpg" for i in range(n)], None, None,
+                   str(tmp_path), "task2B", folds=[5])
+    assert any("pack-rows is not supported" in m for m in caplog.messages)

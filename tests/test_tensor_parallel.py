@@ -230,3 +230,43 @@ def test_tp_rules_cover_vit():
     state, _ = create_train_state(variables, tx)
     tp_state = shard_state(state, mesh)
     assert count_sharded(tp_state.params) >= 6 * 2  # 6 rules x 2 layers
+
+
+def test_tp_composes_with_fold_parallel_3d_mesh():
+    """3-D (fold=2, data=2, model=2) composition (VERDICT r3 #6): stacked
+    per-fold states with each fold's transformer weights Megatron-sharded
+    over `model`, per-fold batches over `data` — one vmapped step executes
+    and both fold and model shardings survive."""
+    from jax.sharding import Mesh
+
+    from mpmc_tpu.parallel.fold_parallel import stack_states
+
+    rng = np.random.default_rng(7)
+    cfg, state, step_fn, batch_d = _text_setup(rng)
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 2, 2),
+                ("fold", "data", "model"))
+    stacked = stack_states([state, state])
+    stacked = shard_state(stacked, mesh, leading_axes=("fold",))
+    n_tp = count_sharded(stacked.params)
+    assert n_tp > 0
+    # every param leaf carries the fold axis too
+    for leaf in jax.tree_util.tree_leaves(stacked.params):
+        assert leaf.sharding.spec and leaf.sharding.spec[0] == "fold"
+    fold_batch = jax.device_put(
+        jax.tree_util.tree_map(lambda x: np.stack([x, x]), batch_d),
+        NamedSharding(mesh, P("fold", "data")))
+    keys = jax.device_put(jax.random.split(jax.random.PRNGKey(0), 2),
+                          NamedSharding(mesh, P("fold")))
+    comp = jax.jit(jax.vmap(step_fn))
+    new_stacked, metrics = comp(stacked, fold_batch, keys)
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
+    assert count_sharded(new_stacked.params) >= n_tp
+    # parity vs the plain unsharded step (fold 0 == fold 1 == single)
+    _, ref_metrics = jax.jit(step_fn)(state, batch_d,
+                                      jax.random.PRNGKey(0))
+    # folds used different rng keys; just check the sharded computation is
+    # the same program: rerun fold-0's key on the plain step
+    _, m0 = jax.jit(step_fn)(state, batch_d,
+                             jax.random.split(jax.random.PRNGKey(0), 2)[0])
+    np.testing.assert_allclose(float(np.asarray(metrics["loss"])[0]),
+                               float(m0["loss"]), rtol=1e-5)
