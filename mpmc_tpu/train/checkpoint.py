@@ -10,6 +10,7 @@ moments, batch-norm statistics, step counter).
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 from typing import Any, Dict, Optional
@@ -33,12 +34,42 @@ class Checkpointer:
         )
 
     def save(self, state, step: int, metrics: Optional[Dict] = None) -> None:
+        clean = {k: float(v) for k, v in (metrics or {}).items()}
         self.manager.save(
             step,
             args=self._ocp.args.StandardSave(state),
-            metrics={k: float(v) for k, v in (metrics or {}).items()},
+            metrics=clean,
         )
+        # Sidecar metrics record: resume restores best-F1 bookkeeping from
+        # here (fit seeds its best-TSV threshold off the restored value so a
+        # resumed run only rewrites TSVs when it beats the pre-crash best —
+        # the exact-equivalence contract of test_crash_resume_equivalence).
+        meta_path = os.path.join(self.directory, "ckpt_meta.json")
+        meta: Dict[str, Dict] = {}
+        if os.path.exists(meta_path):
+            try:
+                with open(meta_path) as f:
+                    meta = json.load(f)
+            except (OSError, ValueError):  # pragma: no cover - corrupt meta
+                meta = {}
+        meta[str(step)] = clean
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
         log.info("checkpoint saved @ step %d (%s)", step, metrics)
+
+    def latest_metrics(self) -> Optional[Dict]:
+        """Metrics recorded with the newest checkpoint (or None)."""
+        step = self.manager.latest_step()
+        if step is None:
+            return None
+        meta_path = os.path.join(self.directory, "ckpt_meta.json")
+        if not os.path.exists(meta_path):
+            return None
+        try:
+            with open(meta_path) as f:
+                return json.load(f).get(str(step))
+        except (OSError, ValueError):  # pragma: no cover - corrupt meta
+            return None
 
     def restore_latest(self, target) -> Any:
         """Restore the newest checkpoint into the structure of ``target``

@@ -304,12 +304,27 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
     # resumed runs save at monotonically increasing step ids.
     step_count = int(np.asarray(jax.device_get(state.step)))
     # Resume from the interrupted position, not epoch 0: a restored state
-    # carries its optimizer step, so completed epochs are skipped (replaying
-    # them would re-train at the schedule's decayed/zero tail LR).  The
-    # per-epoch data shuffles of the skipped epochs are consumed so the
-    # remaining epochs see the same batch order they would have originally.
+    # carries its optimizer step, so completed steps are skipped (replaying
+    # them would double-train those batches at the wrong schedule point).
+    # The per-epoch data shuffles AND per-dispatch dropout-key splits of the
+    # skipped work are consumed so the remaining steps see the exact batch
+    # order and dropout keys they would have originally — making a
+    # crash+resume run bit-equivalent to an uninterrupted one (the reference
+    # has no checkpointing at all; a crash costs a full re-run, SURVEY.md
+    # §5.4).  Checkpoints save at eval boundaries and scan groups never
+    # straddle them, so a mid-epoch restored step always lands on a dispatch
+    # group boundary.
     start_epoch = min(step_count // steps_per_epoch, cfg.epochs)
-    if start_epoch:
+    resume_bi = step_count - start_epoch * steps_per_epoch
+
+    def _epoch_dispatches() -> int:
+        if not use_scan:
+            return steps_per_epoch
+        plan = _scan_group_plan(steps_per_epoch, check_interval, scan_k,
+                                eval_on=test_data is not None)
+        return sum(1 if s == scan_k else s for s in plan)
+
+    if start_epoch or resume_bi:
         if start_epoch >= cfg.epochs:
             log.warning(
                 "restored step %d already covers all %d epochs "
@@ -317,14 +332,28 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
                 "cfg.epochs to continue training", step_count, cfg.epochs,
                 steps_per_epoch)
         else:
-            log.info("resuming at epoch %d/%d (restored step %d)",
-                     start_epoch, cfg.epochs, step_count)
+            log.info("resuming at epoch %d batch %d/%d (restored step %d)",
+                     start_epoch, resume_bi, steps_per_epoch, step_count)
         for _ in range(start_epoch):
             # Consume exactly what the epoch iterator would have drawn.
             if packed_plan is not None:
                 data_rng.permutation(n_train)
             else:
                 data_rng.shuffle(np.arange(n_train))
+        # Advance the dropout key past the skipped epochs' dispatches in ONE
+        # device call (repeated eager splits would cost one dispatch each).
+        n_skip = start_epoch * _epoch_dispatches()
+        if n_skip:
+            dropout_key = jax.jit(lambda k, n: jax.lax.fori_loop(
+                0, n, lambda i, c: jax.random.split(c)[0], k))(
+                    dropout_key, n_skip)
+    if step_count and checkpointer is not None:
+        restored = checkpointer.latest_metrics()
+        if restored:
+            best_f1 = restored.get("test_f1", best_f1)
+            best_thr = restored.get("threshold", best_thr)
+            log.info("restored best test F1 %.4f (threshold %.4f) — TSVs "
+                     "rewrite only on improvement", best_f1, best_thr)
     from mpmc_tpu.utils.profiling import StepTimer
     timer = StepTimer()
     dispatch_no, prof_started, prof_done = 0, False, False
@@ -414,6 +443,13 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
         for dev_batch, host_batch, n_valid in prefetch_batches(
                 grouped, put_fn):
             group_size = len(n_valid) if isinstance(n_valid, list) else 1
+            if epoch == start_epoch and bi + group_size <= resume_bi:
+                # Mid-epoch resume: replay the pre-crash prefix without
+                # training — consume the batch and its dropout split so the
+                # post-resume steps match the uninterrupted run exactly.
+                dropout_key, _ = jax.random.split(dropout_key)
+                bi += group_size
+                continue
             if cfg.profile_dir and epoch == 0 and not prof_done:
                 # Trace dispatches 3-5: dispatch 1 carries the XLA compile,
                 # 2 the device warm-up — 3+ are steady state.
@@ -500,7 +536,8 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
                                 prob_header=cfg.prob_header)
                     if checkpointer is not None:
                         checkpointer.save(state, step=step_count,
-                                          metrics={"test_f1": best_f1})
+                                          metrics={"test_f1": best_f1,
+                                                   "threshold": best_thr})
         flush_metrics()
         stats = timer.stats(batch_size=bs)
         log.info("TRAIN | Epoch [%d] done in %.1fs | loss %.4f | "

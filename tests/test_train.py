@@ -276,3 +276,77 @@ def test_factored_embedding_optimizer(rng):
     assert losses[-1] < losses[0] * 0.5
     assert float(jnp.abs(
         params["text_model"]["word_embeddings"]["embedding"]).sum()) > 0
+
+
+@pytest.mark.slow
+def test_crash_resume_tsv_equivalence(tmp_path, monkeypatch):
+    """End-to-end crash+resume equivalence (SURVEY.md §5.4; the reference
+    has no checkpointing — a crash costs a full re-run): a 2A driver run
+    killed mid-epoch right after its first committed checkpoint, then
+    resumed with ``--resume``, must emit byte-identical final TSVs to an
+    uninterrupted run.  Exercises step-granular resume (prefix replay
+    without training), dropout-key replay, and best-F1 restoration from the
+    checkpoint metrics sidecar (a reset best-F1 would rewrite TSVs at a
+    lower post-resume score)."""
+    import json
+
+    from mpmc_tpu.cli.main import main
+    from mpmc_tpu.train.checkpoint import Checkpointer
+
+    rng = np.random.default_rng(7)
+
+    def rows(n, off):
+        out = []
+        for k in range(n):
+            y = k % 2
+            stem = "xxqz zpfl" if y else "mmvr wkjd"
+            noise = " ".join(f"n{rng.integers(40)}" for _ in range(4))
+            out.append({"id": f"d/x{off + k}.jpg",
+                        "text": f"{stem} {noise}",
+                        "img_path": "",
+                        "class_label": "propaganda" if y
+                        else "not_propaganda"})
+        return out
+
+    (tmp_path / "tr.json").write_text(json.dumps(rows(48, 0)))
+    (tmp_path / "dv.json").write_text(json.dumps(rows(16, 100)))
+
+    def args(out, ckpt, resume=False):
+        a = ["train", "--subtask", "2a", "--tiny", "--epochs", "3",
+             "--num-folds", "2", "--fold", "0", "--batch-size", "8",
+             "--lr", "1e-3",
+             "-tr", str(tmp_path / "tr.json"),
+             "-te", str(tmp_path / "dv.json"),
+             "-o", str(tmp_path / out),
+             "--checkpoint-dir", str(tmp_path / ckpt)]
+        return a + ["--resume"] if resume else a
+
+    # Uninterrupted reference run.
+    assert main(args("outA", "ckptA")) == 0
+
+    # Crashed run: die right after the FIRST committed checkpoint (mid-epoch
+    # — eval_per_epoch=2 puts the first eval/checkpoint inside epoch 0).
+    real_save, calls = Checkpointer.save, []
+
+    def crashing_save(self, state, step, metrics=None):
+        real_save(self, state, step, metrics)
+        self.wait()  # commit — orbax makes mid-write crashes atomic anyway
+        calls.append(step)
+        raise KeyboardInterrupt("injected crash after first checkpoint")
+
+    monkeypatch.setattr(Checkpointer, "save", crashing_save)
+    with pytest.raises(KeyboardInterrupt):
+        main(args("outB", "ckptB"))
+    assert len(calls) == 1
+    monkeypatch.setattr(Checkpointer, "save", real_save)
+
+    # Resume and run to completion.
+    assert main(args("outB", "ckptB", resume=True)) == 0
+
+    out_a, out_b = tmp_path / "outA", tmp_path / "outB"
+    tsvs = sorted(p.name for p in out_a.glob("*.tsv"))
+    assert tsvs, "uninterrupted run emitted no TSVs"
+    assert sorted(p.name for p in out_b.glob("*.tsv")) == tsvs
+    for name in tsvs:
+        assert (out_a / name).read_bytes() == (out_b / name).read_bytes(), \
+            f"{name} differs between uninterrupted and crash+resume runs"
