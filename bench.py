@@ -75,6 +75,9 @@ def _batch(rng, mcfg, n, text_len, cap_len):
 
 
 def _measure(mcfg, batch_size, text_len, cap_len, scan_k=1, **cfg_kw):
+    embed_support = (batch_size * max(text_len, cap_len)
+                     if cfg_kw.get("embedding_optimizer") == "sparse"
+                     else None)
     """Steps/sec for one (batch, text_len, cap_len) configuration.
 
     ``scan_k > 1`` measures the dispatch-amortized path the train loop uses
@@ -98,7 +101,7 @@ def _measure(mcfg, batch_size, text_len, cap_len, scan_k=1, **cfg_kw):
     variables = model.init(jax.random.key(0), batch["text_ids"],
                            batch["text_mask"], batch["image"],
                            batch["caption_ids"], batch["caption_mask"])
-    tx = make_optimizer(cfg, total_steps=1000)
+    tx = make_optimizer(cfg, total_steps=1000, embed_support=embed_support)
     state, _ = create_train_state(variables, tx)
     # Donation lets XLA update params/opt-state in place — ~30ms/step less
     # HBM traffic at this model size (measured).
@@ -263,6 +266,13 @@ def main():
     tuned16 = extra(_measure, mcfg, 16, bucket_text, bucket_cap,
                     scan_k=scan_k, embedding_optimizer="factored",
                     adam_mu_dtype="bfloat16")
+    # Sparse (lazy) row-Adam on the embedding tables (train/sparse_opt.py):
+    # exact Adam on only the ≤bs×seq touched vocab rows per step, frozen
+    # elsewhere — removes the full-table optimizer pass entirely (opt-in
+    # --embedding-optimizer sparse).
+    sparse16 = extra(_measure, mcfg, 16, bucket_text, bucket_cap,
+                     scan_k=scan_k, embedding_optimizer="sparse",
+                     adam_mu_dtype="bfloat16")
 
     mfu = _step_tflop(mcfg, bucket_text, bucket_cap, 16) / dt / PEAK_TFLOPS
 
@@ -306,6 +316,7 @@ def main():
             "bucketed_bs64_scan": round(bs64, 2) if bs64 else None,
             "driver_path_bs16": round(driver16, 2) if driver16 else None,
             "tuned_optimizer_bs16": round(tuned16, 2) if tuned16 else None,
+            "sparse_optimizer_bs16": round(sparse16, 2) if sparse16 else None,
             "step_ms_bs16": round(dt * 1e3, 1),
             "approx_matmul_mfu_bs16": round(mfu, 3),
             "breakdown": breakdown,

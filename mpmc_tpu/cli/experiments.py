@@ -54,7 +54,9 @@ def corpus_wordpiece_vocab(texts, max_words: int = 30000) -> Dict[str, int]:
 
 
 def build_tokenizer(texts, vocab_path: Optional[str],
-                    cache_dir: Optional[str] = None):
+                    cache_dir: Optional[str] = None,
+                    corpus_vocab_mode: str = "words",
+                    corpus_vocab_size: int = 30000):
     """Tokenizer for the drivers: the C++ batch WordPiece backend (GIL-free,
     multi-threaded, ``native/tokenizer.cpp``) whenever the native lib is
     built — fronted by the npz disk cache — with the pure-Python
@@ -63,6 +65,9 @@ def build_tokenizer(texts, vocab_path: Optional[str],
 
     Corpus-derived vocabs (offline runs without a pretrained vocab file)
     are written under ``cache_dir`` so the native backend can load them.
+    ``corpus_vocab_mode='subword'`` learns true BPE subword pieces instead
+    of the whole-word + char-fallback default
+    (text/wordpiece_learn.py — the morphology-aware vocab).
     """
     import hashlib
 
@@ -77,7 +82,14 @@ def build_tokenizer(texts, vocab_path: Optional[str],
             return HybridWordPieceTokenizer(load_vocab(vocab_path),
                                             vocab_path, cache_dir=cache_dir)
         return WordPieceTokenizer.from_file(vocab_path)
-    vocab = corpus_wordpiece_vocab(texts)
+    if corpus_vocab_mode == "subword":
+        from mpmc_tpu.text.wordpiece_learn import learn_wordpiece_vocab
+        vocab = learn_wordpiece_vocab(texts, vocab_size=corpus_vocab_size)
+    elif corpus_vocab_mode == "words":
+        vocab = corpus_wordpiece_vocab(texts, max_words=corpus_vocab_size)
+    else:
+        raise ValueError(f"unknown corpus_vocab_mode: {corpus_vocab_mode!r} "
+                         "(expected 'words' or 'subword')")
     if use_native:
         cache_dir = cache_dir or ".cache"
         os.makedirs(cache_dir, exist_ok=True)
@@ -251,7 +263,17 @@ def _init_and_steps(model, cfg: TrainConfig, train_data, kind: str,
     if not steps_per_epoch:
         steps_per_epoch = (n + bs - 1) // bs
     total_steps = steps_per_epoch * cfg.epochs
-    tx = make_optimizer(cfg, total_steps)
+    embed_support = None
+    if cfg.embedding_optimizer == "sparse" and packed_model is None:
+        # Exact per-step touched-row bound from the REALIZED (bucketed)
+        # batch shapes: one step gathers at most batch_size × seq-len
+        # distinct vocab rows per table.  Packed mode keeps the
+        # conservative config bound (row composition varies per epoch).
+        lens = [train_data[k].shape[-1]
+                for k in ("text_ids", "caption_ids") if k in train_data]
+        if lens:
+            embed_support = bs * max(lens)
+    tx = make_optimizer(cfg, total_steps, embed_support=embed_support)
     pp_sp_apply = None
     if kind == "text" and (cfg.mesh.num_stage_shards > 1
                            or cfg.mesh.num_seq_shards > 1):
@@ -342,11 +364,16 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
                test_ids: Optional[List[str]],
                out_dir: str, name: str, folds: Optional[List[int]] = None,
                augment: bool = False, grayscale: bool = False,
-               pretrained=None, eval_transform_only: bool = False
+               pretrained=None, eval_transform_only: bool = False,
+               soft_targets: Optional[np.ndarray] = None
                ) -> SubtaskResult:
     from mpmc_tpu.train.loop import fit
     os.makedirs(out_dir, exist_ok=True)
     if cfg.mesh.is_fold_parallel:
+        if soft_targets is not None:
+            raise ValueError("--distill-lambda is not supported with "
+                             "--fold-parallel (per-fold soft-target arrays "
+                             "are not stacked over the fold mesh axis)")
         return _run_folds_parallel(cfg, model_factory, kind, full_data, ids,
                                    test_data, test_ids, out_dir, name,
                                    augment=augment, grayscale=grayscale,
@@ -439,11 +466,23 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
         log.info("=== fold %d/%d ===", k, cfg.data.num_folds)
         train_d = _select(full_data, tr_idx)
         val_d = _select(full_data, va_idx)
+        if soft_targets is not None:
+            # Per-fold teacher probabilities (train/distill.py): soft[k] is
+            # full-length [N]; training consumes only its tr_idx rows.
+            train_d["soft"] = soft_targets[k][tr_idx].astype(np.float32)
         t_data = test_data if test_data is not None else val_d
         t_ids = test_ids if test_ids is not None else [ids[i] for i in va_idx]
         dev_train = dev_test = dev_val = None
         if dev_full_data is not None:
-            dev_train = DeviceData(dev_full_data, tr_idx)
+            if soft_targets is not None:
+                import jax
+                pd = place_data if place_data is not None else jax.device_put
+                dev_train = DeviceData(
+                    dict(dev_full_data,
+                         soft=pd(soft_targets[k].astype(np.float32))),
+                    tr_idx)
+            else:
+                dev_train = DeviceData(dev_full_data, tr_idx)
             dev_val = DeviceData(dev_full_data, va_idx)
             dev_test = (DeviceData(dev_test_data,
                                    np.arange(len(t_ids), dtype=np.int64))
@@ -697,7 +736,9 @@ def run_subtask_2a(cfg: TrainConfig, out_dir: str = "outputs/2a",
     dev = read_manifest(cfg.data.dev_manifest)
     combined = train.concat(dev) if cfg.data.fold_over_train_plus_dev else train
     tok = build_tokenizer([preprocess_arabic_tweet(t) for t in combined.texts],
-                          vocab_path, cache_dir=cfg.data.cache_dir)
+                          vocab_path, cache_dir=cfg.data.cache_dir,
+                          corpus_vocab_mode=cfg.data.corpus_vocab_mode,
+                          corpus_vocab_size=cfg.data.corpus_vocab_size)
     _persist_vocab(tok, cfg, out_dir)
     mcfg = dataclasses.replace(
         cfg.model, subtask=Subtask.A, num_classes=2,
@@ -719,10 +760,25 @@ def run_subtask_2a(cfg: TrainConfig, out_dir: str = "outputs/2a",
     pretrained = _maybe_mlm_pretrain(
         cfg, mcfg, tok, [preprocess_arabic_tweet(t) for t in combined.texts],
         data["text_ids"].shape[1], out_dir, pretrained)
+    soft_targets = None
+    if cfg.distill_lambda > 0:
+        # Classic→neural distillation (train/distill.py): per-fold
+        # cross-fitted char-n-gram SVM soft targets over the SAME
+        # StratifiedKFold splits the fold loop uses.
+        if cfg.data.pack_rows > 0:
+            raise ValueError("--distill-lambda is not supported together "
+                             "with --pack-rows (packed batches re-compose "
+                             "rows; soft targets are per original row)")
+        from mpmc_tpu.train.distill import ngram_soft_targets
+        soft_targets = ngram_soft_targets(
+            list(combined.texts), combined.labels,
+            stratified_kfold(combined.labels, cfg.data.num_folds,
+                             cfg.data.fold_seed),
+            seed=cfg.data.fold_seed, cache_dir=cfg.data.cache_dir)
     _persist_run_meta(cfg, mcfg, "text", out_dir, data, augment=False)
     return _run_folds(cfg, lambda: TextClassifier(mcfg), "text", data,
                       combined.ids, None, None, out_dir, "task2A", folds,
-                      pretrained=pretrained)
+                      pretrained=pretrained, soft_targets=soft_targets)
 
 
 def run_subtask_2b(cfg: TrainConfig, out_dir: str = "outputs/2b",
@@ -778,7 +834,9 @@ def run_subtask_2c(cfg: TrainConfig, out_dir: str = "outputs/2c",
     train = read_manifest(cfg.data.train_manifest)
     dev = read_manifest(cfg.data.dev_manifest)
     tok = build_tokenizer([preprocess_arabic_tweet(t) for t in train.texts],
-                          vocab_path, cache_dir=cfg.data.cache_dir)
+                          vocab_path, cache_dir=cfg.data.cache_dir,
+                          corpus_vocab_mode=cfg.data.corpus_vocab_mode,
+                          corpus_vocab_size=cfg.data.corpus_vocab_size)
     _persist_vocab(tok, cfg, out_dir)
     mcfg = dataclasses.replace(
         cfg.model, subtask=Subtask.C,

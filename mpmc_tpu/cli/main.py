@@ -142,7 +142,10 @@ def _cmd_train(args):
                       batch_size=args.batch_size,
                       num_folds=args.num_folds,
                       fold_over_train_plus_dev=(args.subtask == "2a"),
-                      pack_rows=args.pack_rows)
+                      pack_rows=args.pack_rows,
+                      cache_dir=args.cache_dir,
+                      corpus_vocab_mode=args.corpus_vocab,
+                      corpus_vocab_size=args.corpus_vocab_size)
     if args.small and args.subtask == "2a":
         model = ModelConfig.small_2a()
     elif args.small and args.subtask == "2c":
@@ -209,6 +212,7 @@ def _cmd_train(args):
                       profile_dir=args.profile_dir,
                       mlm_epochs=args.mlm_epochs,
                       mlm_pack=args.mlm_pack,
+                      distill_lambda=args.distill_lambda,
                       simclr_epochs=args.simclr_epochs)
     pretrained = PretrainedSpec(text=args.text_params,
                                 caption=args.caption_params,
@@ -763,6 +767,25 @@ def main(argv=None):
                         "augmented, train/pretrain.py) and initializes the "
                         "text encoder from it — the no-external-weights "
                         "quality lever (ignored when --text-params is set)")
+    p.add_argument("--cache-dir", default=".cache",
+                   help="disk cache for tokenizations, captions and "
+                        "distillation soft targets (DataConfig.cache_dir)")
+    p.add_argument("--corpus-vocab", default="words",
+                   choices=["words", "subword"],
+                   help="corpus vocab family when no --vocab file is "
+                        "given: 'words' = whole-word + char fallback; "
+                        "'subword' = BPE-learned WordPiece pieces "
+                        "(text/wordpiece_learn.py, morphology-aware)")
+    p.add_argument("--corpus-vocab-size", type=int, default=30000,
+                   help="corpus vocab budget (words: max words kept; "
+                        "subword: total pieces)")
+    p.add_argument("--distill-lambda", type=float, default=0.0,
+                   help=">0 mixes cross-fitted char-n-gram SVM soft "
+                        "targets into the 2A train loss: (1-λ)·CE(hard) + "
+                        "λ·CE(teacher prob) (train/distill.py). The "
+                        "per-fold teacher is fit only inside that fold's "
+                        "train rows (inner CV — leak-free); eval and TSVs "
+                        "stay purely neural")
     p.add_argument("--mlm-pack", action="store_true",
                    help="sequence-pack the MLM corpus (segment-masked "
                         "attention; objective unchanged, ~4x fewer rows "

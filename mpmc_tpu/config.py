@@ -258,6 +258,13 @@ class DataConfig:
     fold_over_train_plus_dev: bool = False  # 2A: 10-fold over train+dev (:221-230)
     normalize_arabic: bool = True
     cache_dir: str = ".cache"         # caption + tokenization cache (unlike reference)
+    # Corpus-derived vocabulary family when no pretrained vocab file is
+    # given: "words" = whole-word + char fallback (the original offline
+    # default); "subword" = BPE-learned WordPiece pieces
+    # (text/wordpiece_learn.py) — morphology-aware subwords, the vocab-level
+    # answer to the char-n-gram SVM's signal on this corpus.
+    corpus_vocab_mode: str = "words"
+    corpus_vocab_size: int = 30000
     # Raise (instead of warn + synthesize pixels) when manifest images are
     # missing under image_root — set for real training/scoring runs.
     strict_images: bool = False
@@ -416,6 +423,14 @@ class TrainConfig:
     # environments (the reference's quality comes from downloaded QARiB/
     # AraBERT weights, textmodel_example_task2A.py:41-44).
     mlm_epochs: int = 0
+    # Classic→neural distillation (train/distill.py): when > 0, the 2A
+    # driver fits the calibrated char-n-gram SVM (the repo's strongest
+    # classic model, baselines/classic.run_ngram_cv — 10-fold 0.712) as a
+    # per-fold teacher, CROSS-FITTED inside each fold's train rows (inner
+    # K-fold; the teacher never sees the row it predicts nor any fold-val
+    # row), and the train loss becomes (1-λ)·CE(hard) + λ·CE(teacher prob).
+    # Eval and emitted TSVs stay purely neural.  0 disables.
+    distill_lambda: float = 0.0
     # Sequence-pack the MLM corpus (train/pretrain.py MLMConfig.pack):
     # co-packed texts never attend each other so the objective is
     # unchanged; rows per epoch drop by the corpus padding ratio (~4x at

@@ -64,7 +64,9 @@ def _param_group(path: Tuple) -> str:
     return "head"
 
 
-def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransformation:
+def make_optimizer(cfg: TrainConfig, total_steps: int,
+                   embed_support: Optional[int] = None
+                   ) -> optax.GradientTransformation:
     if cfg.lr_schedule == "constant":
         # Reference 2A recipe: ``scheduler = None``
         # (textmodel_example_task2A.py:574-576) — flat base LR, no decay.
@@ -118,15 +120,23 @@ def make_optimizer(cfg: TrainConfig, total_steps: int) -> optax.GradientTransfor
     )
     if embed_mode == "sparse":
         from mpmc_tpu.train.sparse_opt import with_sparse_embeddings
-        # One step can touch at most batch_size × padded-seq-len distinct
-        # rows per table; take the config's upper bound (bucketing only
-        # shrinks it) so no gradient row is ever skipped.
-        rows = max(cfg.data.batch_size, cfg.data.pack_rows)
-        per_step = rows * max(cfg.model.max_text_len or 1,
-                              cfg.model.max_caption_len or 1)
-        tx = with_sparse_embeddings(
-            tx, enc_sched,
-            support_rows=max(cfg.embedding_support_rows, per_step))
+        if embed_support is not None:
+            # Exact bound supplied by the driver from the REALIZED batch
+            # shapes (post-bucketing: batch_size × bucketed seq len) — the
+            # gather/scatter K tracks the true per-step support instead of
+            # the config cap (4× smaller at the corpus bucket of 128 vs the
+            # 512 cap).  support_rows only sizes per-step temporaries, so
+            # checkpoints are interchangeable across values.
+            support = int(embed_support)
+        else:
+            # One step can touch at most batch_size × padded-seq-len
+            # distinct rows per table; take the config's upper bound
+            # (bucketing only shrinks it) so no gradient row is skipped.
+            rows = max(cfg.data.batch_size, cfg.data.pack_rows)
+            per_step = rows * max(cfg.model.max_text_len or 1,
+                                  cfg.model.max_caption_len or 1)
+            support = max(cfg.embedding_support_rows, per_step)
+        tx = with_sparse_embeddings(tx, enc_sched, support_rows=support)
     return tx
 
 
@@ -162,10 +172,15 @@ def build_train_step_fn(apply_fn: ApplyFn, cfg: TrainConfig,
     """
     compute_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
 
-    def loss_from_outputs(outputs, labels, valid=None):
+    def loss_from_outputs(outputs, labels, valid=None, soft=None):
         """Mean loss over the *valid* rows only: replicated padding rows in
         the static-shape final batch (train.loop.batch_iter) carry zero
-        weight, matching the reference's smaller-final-batch semantics."""
+        weight, matching the reference's smaller-final-batch semantics.
+
+        With ``soft`` (per-row teacher P(propaganda), train/distill.py) and
+        ``cfg.distill_lambda`` > 0 the per-row loss becomes
+        ``(1-λ)·loss(hard) + λ·CE(soft)`` — classic→neural distillation;
+        eval and TSV emission stay purely neural."""
         outputs = outputs.astype(jnp.float32)
         if cfg.loss == LossType.FOCAL:
             vec = sigmoid_focal_loss(outputs, labels.astype(jnp.float32),
@@ -179,6 +194,20 @@ def build_train_step_fn(apply_fn: ApplyFn, cfg: TrainConfig,
                 w = valid
             else:  # torch weighted-mean: normalize by the sum of weights
                 w = cw[labels] if valid is None else cw[labels] * valid
+        if soft is not None and cfg.distill_lambda > 0:
+            q = soft.astype(jnp.float32)
+            if outputs.ndim == 1:  # single-logit sigmoid head
+                logp1 = jax.nn.log_sigmoid(outputs)
+                logp0 = jax.nn.log_sigmoid(-outputs)
+            elif outputs.shape[-1] == 2:
+                logp = jax.nn.log_softmax(outputs, axis=-1)
+                logp1, logp0 = logp[:, 1], logp[:, 0]
+            else:
+                raise ValueError("distill_lambda requires a binary head "
+                                 f"(got outputs {outputs.shape})")
+            vec_soft = -(q * logp1 + (1.0 - q) * logp0)
+            lam = cfg.distill_lambda
+            vec = (1.0 - lam) * vec + lam * vec_soft
         if w is None:
             return jnp.mean(vec)
         w = w.astype(jnp.float32)
@@ -187,6 +216,7 @@ def build_train_step_fn(apply_fn: ApplyFn, cfg: TrainConfig,
     def step_fn(state: TrainState, batch: Dict, dropout_rng: jax.Array):
         drop_key, aug_key = jax.random.split(dropout_rng)
         valid = batch.get("valid")  # static presence check at trace time
+        soft = batch.get("soft")    # distillation targets (train/distill.py)
 
         def loss_fn(params):
             variables = {"params": _cast_floats(params, compute_dtype),
@@ -194,12 +224,12 @@ def build_train_step_fn(apply_fn: ApplyFn, cfg: TrainConfig,
             cast_batch = {
                 k: (v.astype(compute_dtype)
                     if jnp.issubdtype(v.dtype, jnp.floating) else v)
-                for k, v in batch.items() if k != "valid"}
+                for k, v in batch.items() if k not in ("valid", "soft")}
             outputs, mutated = apply_fn(
                 variables, cast_batch, train=True,
                 rngs={"dropout": drop_key, "augment": aug_key},
                 mutable=["batch_stats"])
-            loss = loss_from_outputs(outputs, batch["label"], valid)
+            loss = loss_from_outputs(outputs, batch["label"], valid, soft)
             return loss, mutated.get("batch_stats", state.batch_stats)
 
         (loss, new_stats), grads = jax.value_and_grad(

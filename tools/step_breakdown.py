@@ -260,6 +260,26 @@ def main():
 
     tf_, _ = timed_scan(fullf_body, jax.device_put(stf), keys)
     results["full_step_factored_embed_bf16_mu_ms"] = tf_ * 1e3
+
+    # ---- lever: sparse (lazy) row-Adam embedding tables (+ bf16 mu) ----
+    # --embedding-optimizer sparse: exact Adam on only the vocab rows the
+    # step's gradient touches (≤ bs × seq-len per table), frozen elsewhere
+    # (train/sparse_opt.py) — the full-table optimizer read-modify-write
+    # disappears.  Support sized exactly as the driver does (realized
+    # batch shapes).
+    txs = make_optimizer(
+        dataclasses.replace(cfg, adam_mu_dtype="bfloat16",
+                            embedding_optimizer="sparse"),
+        total_steps=1000, embed_support=BS * TEXT_LEN)
+    steps_ = build_train_step_fn(apply_fn, cfg, txs)
+    sts, _ = create_train_state(variables, txs)
+
+    def fulls_body(st, key):
+        st, m = steps_(st, dev_batch, key)
+        return st, m["loss"]
+
+    ts_, _ = timed_scan(fulls_body, jax.device_put(sts), keys)
+    results["full_step_sparse_embed_bf16_mu_ms"] = ts_ * 1e3
     n_embed = sum(
         int(np.prod(np.shape(leaf)))
         for path, leaf in jax.tree_util.tree_flatten_with_path(
