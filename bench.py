@@ -189,6 +189,68 @@ def _measure_driver_path(mcfg, batch_size, text_len, cap_len, scan_k):
     return batch_size / dt, dt
 
 
+def _measure_packed(mcfg, batch_size, text_len, cap_len, scan_k):
+    """2C sequence packing (train --subtask 2c --pack-rows): the same
+    batch_size samples per step, but their text/caption tokens packed into
+    ~padding-ratio fewer transformer rows (segment-masked attention,
+    ops/packing.py).  Lengths drawn from the real corpus profile (~15 text
+    / ~20 caption tokens vs the 128/64 buckets)."""
+    from mpmc_tpu.models.classifier import PackedMultimodalClassifier
+    from mpmc_tpu.train.packed import (PackedMultimodalPlan,
+                                       make_packed_multimodal_apply_fn)
+
+    cfg = TrainConfig(model=mcfg, data=DataConfig(batch_size=batch_size),
+                      scan_steps=scan_k)
+    rng = np.random.default_rng(0)
+    N = 512
+    t_lens = np.clip(rng.poisson(15, N), 3, text_len)
+    c_lens = np.clip(rng.poisson(20, N), 3, cap_len)
+    data = {
+        "text_ids": rng.integers(5, mcfg.text.vocab_size,
+                                 (N, text_len)).astype(np.int32),
+        "text_mask": (np.arange(text_len)[None, :]
+                      < t_lens[:, None]).astype(np.int32),
+        "caption_ids": rng.integers(5, mcfg.caption.vocab_size,
+                                    (N, cap_len)).astype(np.int32),
+        "caption_mask": (np.arange(cap_len)[None, :]
+                         < c_lens[:, None]).astype(np.int32),
+        "image": rng.random((N, mcfg.image.image_size, mcfg.image.image_size,
+                             3)).astype(np.float32),
+        "label": (rng.random(N) > 0.6).astype(np.int32),
+    }
+    plan = PackedMultimodalPlan(data, batch_size=batch_size)
+    batches = []
+    for b, _k in plan.epoch_iter(np.random.default_rng(1)):
+        batches.append(b)
+        if len(batches) == scan_k:
+            break
+    stacked = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+
+    packed_model = PackedMultimodalClassifier(mcfg)
+    apply_fn = make_packed_multimodal_apply_fn(packed_model)
+    ex = batches[0]
+    tp = {k[2:]: ex[k] for k in ("t_ids", "t_segments", "t_positions",
+                                 "t_row_of", "t_slot_of", "t_start_of")}
+    cp = {k[2:]: ex[k] for k in ("c_ids", "c_segments", "c_positions",
+                                 "c_row_of", "c_slot_of", "c_start_of")}
+    variables = packed_model.init(jax.random.key(0), tp, ex["image"], cp)
+    tx = make_optimizer(cfg, total_steps=1000)
+    state, _ = create_train_state(variables, tx)
+    step_fn = make_scan_train_step(apply_fn, cfg, tx)
+    dev_batch = jax.device_put(stacked)
+    for i in range(WARMUP):
+        state, m = step_fn(state, dev_batch, jax.random.key(i))
+        float(np.ravel(m["loss"])[-1])
+    dispatches = max(STEPS // scan_k, 3)
+    t0 = time.perf_counter()
+    for i in range(dispatches):
+        state, m = step_fn(state, dev_batch, jax.random.key(WARMUP + i))
+    float(np.ravel(m["loss"])[-1])
+    dt = (time.perf_counter() - t0) / (dispatches * scan_k)
+    del state, dev_batch
+    return batch_size / dt, dt
+
+
 def _step_tflop(mcfg, text_len, cap_len, batch):
     """Approximate fwd+bwd TFLOP per step (matmul-dominated terms only):
     dense transformer 72·B·S·H² + attention 12·B·S²·H per layer-triple
@@ -273,6 +335,8 @@ def main():
     sparse16 = extra(_measure, mcfg, 16, bucket_text, bucket_cap,
                      scan_k=scan_k, embedding_optimizer="sparse",
                      adam_mu_dtype="bfloat16")
+    packed16 = extra(_measure_packed, mcfg, 16, bucket_text, bucket_cap,
+                     scan_k)
 
     mfu = _step_tflop(mcfg, bucket_text, bucket_cap, 16) / dt / PEAK_TFLOPS
 
@@ -317,6 +381,7 @@ def main():
             "driver_path_bs16": round(driver16, 2) if driver16 else None,
             "tuned_optimizer_bs16": round(tuned16, 2) if tuned16 else None,
             "sparse_optimizer_bs16": round(sparse16, 2) if sparse16 else None,
+            "packed_2c_bs16": round(packed16, 2) if packed16 else None,
             "step_ms_bs16": round(dt * 1e3, 1),
             "approx_matmul_mfu_bs16": round(mfu, 3),
             "breakdown": breakdown,

@@ -931,6 +931,21 @@ def run_subtask_2c(cfg: TrainConfig, out_dir: str = "outputs/2c",
         # headless SimCLR backbone cannot splice into)
         pretrained = _maybe_simclr_pretrain(cfg, mcfg, imgs["train"],
                                             out_dir, pretrained)
+    soft_targets = None
+    if cfg.distill_lambda > 0 and not simple:
+        # Same classic→neural distillation as 2A (train/distill.py), over
+        # the 2C protocol's 5-fold train-only splits; the focal hard loss
+        # mixes with the teacher soft-CE per row.  Teacher text is the raw
+        # train manifest text — dev (the test split) is never touched.
+        if cfg.data.pack_rows > 0:
+            raise ValueError("--distill-lambda is not supported together "
+                             "with --pack-rows")
+        from mpmc_tpu.train.distill import ngram_soft_targets
+        soft_targets = ngram_soft_targets(
+            list(train.texts), train.labels,
+            stratified_kfold(train.labels, cfg.data.num_folds,
+                             cfg.data.fold_seed),
+            seed=cfg.data.fold_seed, cache_dir=cfg.data.cache_dir)
     if simple:
         _persist_run_meta(cfg, mcfg, "simple", out_dir, data, augment=True,
                           eval_transform_only=True)
@@ -941,4 +956,5 @@ def run_subtask_2c(cfg: TrainConfig, out_dir: str = "outputs/2c",
     _persist_run_meta(cfg, mcfg, "multimodal", out_dir, data, augment=True)
     return _run_folds(cfg, lambda: MultimodalClassifier(mcfg), "multimodal",
                       data, train.ids, test, dev.ids, out_dir, "task2C",
-                      folds, augment=True, pretrained=pretrained)
+                      folds, augment=True, pretrained=pretrained,
+                      soft_targets=soft_targets)

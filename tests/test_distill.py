@@ -134,3 +134,33 @@ def test_distill_cli_2a_end_to_end(tmp_path, capsys):
     assert glob.glob(str(tmp_path / "out" / "*_probs_fold_0.tsv"))
     # teacher cache was written
     assert glob.glob(str(tmp_path / "cache" / "distill_*.npz"))
+
+
+@pytest.mark.slow
+def test_distill_cli_2c_end_to_end(tmp_path, capsys):
+    """2C: --distill-lambda mixes the teacher soft-CE into the focal loss
+    (single-logit head) through the full multimodal driver."""
+    from mpmc_tpu.cli.main import main
+
+    def make_manifest(path, n, start=0):
+        rows = [{"id": f"d/img_{start+i}.png",
+                 "img_path": f"d/img_{start+i}.png",
+                 "text": ("دعاية قوية مهم " if (start + i) % 2 else
+                          "نص عادي بسيط ") + f"رقم {start+i}",
+                 "class_label": "propaganda" if (start + i) % 2
+                 else "not_propaganda"} for i in range(n)]
+        with open(path, "w") as f:
+            json.dump(rows, f)
+    tr, de = str(tmp_path / "tr.json"), str(tmp_path / "de.json")
+    make_manifest(tr, 48)
+    make_manifest(de, 12, start=100)
+    rc = main(["train", "--subtask", "2c", "--tiny", "--epochs", "1",
+               "--num-folds", "2", "--fold", "0", "--batch-size", "8",
+               "--distill-lambda", "0.5",
+               "-tr", tr, "-te", de, "-o", str(tmp_path / "out"),
+               "--image-root", str(tmp_path),
+               "--cache-dir", str(tmp_path / "cache")])
+    assert rc == 0
+    import glob
+    assert glob.glob(str(tmp_path / "out" / "*_probs_fold_0.tsv"))
+    assert glob.glob(str(tmp_path / "cache" / "distill_*.npz"))

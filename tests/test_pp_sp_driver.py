@@ -48,23 +48,32 @@ def _tsv_names(d):
                   for p in glob.glob(os.path.join(str(d), "*.tsv")))
 
 
+@pytest.fixture(scope="module")
+def dp_baseline(tmp_path_factory):
+    """One plain-DP driver run shared by every PP/SP comparison in this
+    module (the baseline itself is identical across them — running it three
+    times was a third of the module's wall time)."""
+    rng = np.random.default_rng(3)
+    mcfg, data = _data(rng)
+    out = tmp_path_factory.mktemp("dp")
+    _run(_cfg(mcfg, MeshConfig(num_data_shards=2)), mcfg, data, out)
+    return mcfg, data, _tsv_names(out)
+
+
 @pytest.mark.parametrize("impl", ["ring", "ulysses"])
-def test_sp_driver_end_to_end(tmp_path, impl):
+def test_sp_driver_end_to_end(tmp_path, dp_baseline, impl):
     """`train --seq-shards 4 --sp-impl …`: the fold trains under
     sequence-sharded activations through the standard driver, learns, and
     emits the same TSV set as plain DP."""
-    rng = np.random.default_rng(3)
-    mcfg, data = _data(rng)
-    plain = _run(_cfg(mcfg, MeshConfig(num_data_shards=2)), mcfg, data,
-                 tmp_path / "dp")
+    mcfg, data, dp_names = dp_baseline
     sp = _run(_cfg(mcfg, MeshConfig(num_data_shards=2, num_seq_shards=4,
                                     sp_impl=impl)),
               mcfg, data, tmp_path / "sp")
     assert sp.fold_results[0].best_macro_f1 > 0.8
-    assert _tsv_names(tmp_path / "sp") == _tsv_names(tmp_path / "dp")
+    assert _tsv_names(tmp_path / "sp") == dp_names
 
 
-def test_pp_driver_end_to_end_with_checkpoint(tmp_path):
+def test_pp_driver_end_to_end_with_checkpoint(tmp_path, dp_baseline):
     """`train --pipeline-stages 2`: trains through the standard driver,
     learns, emits the DP TSV set, checkpoints the stage-split tree, and the
     raw-restore + merge path rebuilds a plain tree whose forward matches
@@ -73,16 +82,13 @@ def test_pp_driver_end_to_end_with_checkpoint(tmp_path):
     from mpmc_tpu.parallel.mesh import make_mesh
     from mpmc_tpu.train.checkpoint import Checkpointer
 
-    rng = np.random.default_rng(5)
-    mcfg, data = _data(rng)
-    plain = _run(_cfg(mcfg, MeshConfig(num_data_shards=2)), mcfg, data,
-                 tmp_path / "dp")
+    mcfg, data, dp_names = dp_baseline
     mesh_cfg = MeshConfig(num_data_shards=2, num_stage_shards=2,
                           pp_microbatches=4)
     cfg = _cfg(mcfg, mesh_cfg, checkpoint_dir=str(tmp_path / "ck"))
     pp = _run(cfg, mcfg, data, tmp_path / "pp")
     assert pp.fold_results[0].best_macro_f1 > 0.8
-    assert _tsv_names(tmp_path / "pp") == _tsv_names(tmp_path / "dp")
+    assert _tsv_names(tmp_path / "pp") == dp_names
 
     raw = Checkpointer(str(tmp_path / "ck" / "fold_0")).restore_raw_latest()
     assert raw is not None and set(raw["params"]) == {"rest", "stages"}
