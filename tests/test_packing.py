@@ -170,8 +170,9 @@ def test_packed_multimodal_parity(rng):
                          mcfg.max_caption_len).asdict().items()}
     out = packed_model.apply(variables, tp, img, cp, train=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
-    # same param tree → checkpoints interchangeable
-    v2 = packed_model.init(jax.random.key(1), tp, img, cp)
+    # same param tree → checkpoints interchangeable (eval_shape: structure
+    # check needs no second full init compile)
+    v2 = jax.eval_shape(packed_model.init, jax.random.key(1), tp, img, cp)
     assert (jax.tree_util.tree_structure(v2["params"])
             == jax.tree_util.tree_structure(variables["params"]))
 

@@ -32,7 +32,7 @@ def _data(rng, n=64, seq=16, vocab=None):
 def _cfg(mcfg, mesh, **kw):
     return TrainConfig(model=mcfg, data=DataConfig(batch_size=16,
                                                    num_folds=2),
-                       mesh=mesh, epochs=8, loss=LossType.CROSS_ENTROPY,
+                       mesh=mesh, epochs=4, loss=LossType.CROSS_ENTROPY,
                        learning_rate=3e-3, scan_steps=2, **kw)
 
 
