@@ -398,7 +398,16 @@ def main():
                 "matmul-MFU on the same program. tuned_optimizer_bs16 = "
                 "factored-RMS embedding tables + bf16 mu (opt-in flags "
                 "--embedding-optimizer factored --adam-mu-dtype bfloat16; "
-                "34.9 -> 31.0 ms measured, +13%)."),
+                "34.9 -> 31.0 ms measured, +13%). sparse_optimizer_bs16 "
+                "(--embedding-optimizer sparse: exact lazy row-Adam on the "
+                "88M word-embedding params) measures BEHIND factored: a "
+                "K=2048-row scatter into a [64k,768] table costs ~0.52 ms "
+                "(~254 ns/row, ~70x its 6 MB HBM floor) on this chip — TPU "
+                "scatter is descriptor-bound — so the 3 scatters + 3 "
+                "gathers per table cost more than the dense table RMW they "
+                "avoid. Kept as the exact-semantics option; factored is "
+                "the perf lever. Optimizer work alone cannot reach the "
+                "fwd+bwd floor (26.8 ms) at bs16."),
             "note": ("image pixels synthetic (no image tarball in this "
                      "environment); token ids random — identical compute "
                      "to real data. scan-fused = cfg.scan_steps (K "

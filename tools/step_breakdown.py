@@ -242,6 +242,7 @@ def main():
 
     t16, _ = timed_scan(full16_body, jax.device_put(st16), keys)
     results["full_step_bf16_mu_ms"] = t16 * 1e3
+    del st16, step16  # free HBM before the next lever's state (~3 GB each)
 
     # ---- lever: factored-RMS embedding tables (+ bf16 mu) ----
     # --embedding-optimizer factored: the [V,H] word-embedding tables move
@@ -260,6 +261,7 @@ def main():
 
     tf_, _ = timed_scan(fullf_body, jax.device_put(stf), keys)
     results["full_step_factored_embed_bf16_mu_ms"] = tf_ * 1e3
+    del stf, stepf  # free HBM before the sparse lever's state
 
     # ---- lever: sparse (lazy) row-Adam embedding tables (+ bf16 mu) ----
     # --embedding-optimizer sparse: exact Adam on only the vocab rows the
