@@ -14,8 +14,11 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["XLA_FLAGS"] = flags
+# (Measured and rejected: --xla_backend_optimization_level=0 cuts compile
+# ~40% but slows executed code enough that step-heavy tests eat the gain —
+# full-suite cold wall time moved 11:28 -> 10:30 only.)
 
 import jax  # noqa: E402
 

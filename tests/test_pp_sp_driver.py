@@ -60,7 +60,9 @@ def dp_baseline(tmp_path_factory):
     return mcfg, data, _tsv_names(out)
 
 
-@pytest.mark.parametrize("impl", ["ring", "ulysses"])
+@pytest.mark.parametrize(
+    "impl", ["ring",
+             pytest.param("ulysses", marks=pytest.mark.slow)])
 def test_sp_driver_end_to_end(tmp_path, dp_baseline, impl):
     """`train --seq-shards 4 --sp-impl …`: the fold trains under
     sequence-sharded activations through the standard driver, learns, and
@@ -73,6 +75,7 @@ def test_sp_driver_end_to_end(tmp_path, dp_baseline, impl):
     assert _tsv_names(tmp_path / "sp") == dp_names
 
 
+@pytest.mark.slow
 def test_pp_driver_end_to_end_with_checkpoint(tmp_path, dp_baseline):
     """`train --pipeline-stages 2`: trains through the standard driver,
     learns, emits the DP TSV set, checkpoints the stage-split tree, and the

@@ -111,6 +111,7 @@ def test_mlm_packed_learns_and_shrinks_rows(corpus_tok):
     assert "word_embeddings" in enc and "layer_0" in enc
 
 
+@pytest.mark.slow
 def test_pretrain_and_save_end_to_end(corpus_tok, tmp_path):
     texts, tok = corpus_tok
     cfg = _tiny_cfg(max(tok.vocab.values()) + 1)
@@ -146,6 +147,7 @@ def test_make_decode_fn_roundtrip():
     assert decode(ids) == "cat art"
 
 
+@pytest.mark.slow
 def test_scratch_captioner_generates_words(tmp_path):
     """The from-scratch ImageCaptioner path produces real-word captions
     (decoded through the caption vocab), cached to disk as text."""
