@@ -75,9 +75,6 @@ def _batch(rng, mcfg, n, text_len, cap_len):
 
 
 def _measure(mcfg, batch_size, text_len, cap_len, scan_k=1, **cfg_kw):
-    embed_support = (batch_size * max(text_len, cap_len)
-                     if cfg_kw.get("embedding_optimizer") == "sparse"
-                     else None)
     """Steps/sec for one (batch, text_len, cap_len) configuration.
 
     ``scan_k > 1`` measures the dispatch-amortized path the train loop uses
@@ -85,6 +82,9 @@ def _measure(mcfg, batch_size, text_len, cap_len, scan_k=1, **cfg_kw):
     (train/step.make_scan_train_step) — on a tunneled chip each executable
     launch costs a host round-trip that per-step dispatch cannot hide.
     ``cfg_kw`` forwards TrainConfig overrides (optimizer variants)."""
+    embed_support = (batch_size * max(text_len, cap_len)
+                     if cfg_kw.get("embedding_optimizer") == "sparse"
+                     else None)
     cfg = TrainConfig(model=mcfg, data=DataConfig(batch_size=batch_size),
                       scan_steps=max(scan_k, 1), **cfg_kw)
     model = MultimodalClassifier(mcfg)
@@ -365,7 +365,7 @@ def main():
                  / _step_tflop(mcfg, bucket_text, bucket_cap, 16))
         vs = headline / (baseline * ratio)
 
-    print(json.dumps({
+    detailed = {
         "metric": ("2C fine-tune fwd+bwd throughput (AraBERT+RoBERTa+"
                    "ResNet18, bs16, corpus-bucketed seq 128/64, "
                    f"scan-fused dispatch x{scan_k})"),
@@ -418,6 +418,21 @@ def main():
                      "fixed-512 measurement to the bucketed workload by "
                      "matmul FLOPs."),
         },
+    }
+    # Detailed record first, compact headline LAST: the driver keeps only a
+    # bounded tail of stdout, and the round-4 artifact grew past it — its
+    # tail no longer contained "value"/"vs_baseline" (VERDICT r4 weak #3).
+    # The final line is small enough to always survive tail truncation and
+    # carries the full required schema plus the key step/MFU diagnostics.
+    print(json.dumps(detailed))
+    print(json.dumps({
+        "metric": detailed["metric"],
+        "value": detailed["value"],
+        "unit": detailed["unit"],
+        "vs_baseline": detailed["vs_baseline"],
+        "step_ms": detailed["extras"]["step_ms_bs16"],
+        "mfu_full_step": (breakdown or {}).get("mfu_full_step"),
+        "mfu_fwd_bwd": (breakdown or {}).get("mfu_fwd_bwd"),
     }))
 
 

@@ -620,11 +620,11 @@ def _run_folds_parallel(cfg: TrainConfig, model_factory, kind: str,
         cfg, init_fold_state, step_fn, eval_fn, full_data, test_data,
         test_ids, mesh, tsv_prefix=prefix,
         # The reference's run_id encodes the model combo
-        # (Multimodal_example_task2C.py:859); ours additionally encodes the
-        # distillation recipe so `combine --group-by-run-id` can balance
-        # plain vs distilled members as distinct families.
-        run_id=(f"{cfg.team_name}_{cfg.run_id}"
-                + ("_distill" if cfg.distill_lambda > 0 else "")), ids=ids,
+        # (Multimodal_example_task2C.py:859).  No distill tag here:
+        # fold-parallel + soft targets is rejected above, so these runs
+        # never distill (the sequential path tags run_id in train/loop.py
+        # when soft targets are actually present).
+        run_id=f"{cfg.team_name}_{cfg.run_id}", ids=ids,
         checkpoint_dir=cfg.checkpoint_dir)
     prob_paths = [f"{prefix}_probs_fold_{k}.tsv"
                   for k in range(cfg.data.num_folds)]

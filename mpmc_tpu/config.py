@@ -459,12 +459,14 @@ class TrainConfig:
     # reference — opt-in.
     embedding_optimizer: str = "adam"
     # Static per-step touched-row bound for embedding_optimizer == "sparse".
-    # Must be ≥ the distinct vocab rows one optimizer step can touch (the
-    # batch's token count bounds it: batch_size × padded seq len, per
-    # table).  The drivers raise it automatically when the batch shape
-    # needs more.  Rows beyond the bound (smallest gradient norms) would be
-    # skipped for that step.
-    embedding_support_rows: int = 4096
+    # 0 (default) = sized automatically: the drivers pass the realized
+    # bucketed batch token bound (batch_size × bucketed seq len per table),
+    # falling back to the config cap batch_size × max seq len.  Set > 0 to
+    # force a FLOOR on the automatic sizing (an explicit value is never
+    # silently dropped).  Rows beyond the bound (smallest gradient norms)
+    # are skipped for that step; support_rows only sizes per-step
+    # temporaries, so checkpoints are interchangeable across values.
+    embedding_support_rows: int = 0
     # Dispatch amortization: fuse this many optimizer steps into ONE jitted
     # lax.scan dispatch (train/step.make_scan_train_step).  Over a remote
     # TPU link each executable launch costs a host round-trip; scanning K

@@ -299,7 +299,18 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
 
     best_f1, best_thr, best_probs = -1.0, 0.5, None
     history: List[Dict] = []
-    run_id = f"{cfg.team_name}_{cfg.run_id}"
+    # Tag the run_id when distillation is ACTUALLY applied — i.e. teacher
+    # soft targets are present in the training rows (the step consumes
+    # batch["soft"] only then, train/step.py) — so `combine
+    # --group-by-run-id` separates plain vs distilled members as distinct
+    # families.  Gating on the data (not cfg.distill_lambda alone) keeps
+    # drivers that silently skip distillation (2B, 2C --simple) untagged.
+    distilled = (cfg.distill_lambda > 0
+                 and ("soft" in train_data
+                      or (dev_train is not None
+                          and "soft" in dev_train.data)))
+    run_id = (f"{cfg.team_name}_{cfg.run_id}"
+              + ("_distill" if distilled else ""))
     # Continue the optimizer-step numbering of a restored checkpoint so
     # resumed runs save at monotonically increasing step ids.
     step_count = int(np.asarray(jax.device_get(state.step)))

@@ -126,8 +126,10 @@ def make_optimizer(cfg: TrainConfig, total_steps: int,
             # gather/scatter K tracks the true per-step support instead of
             # the config cap (4× smaller at the corpus bucket of 128 vs the
             # 512 cap).  support_rows only sizes per-step temporaries, so
-            # checkpoints are interchangeable across values.
-            support = int(embed_support)
+            # checkpoints are interchangeable across values.  The config
+            # value stays an escape-hatch floor: an explicit
+            # --embedding-support-rows is never silently dropped.
+            support = max(cfg.embedding_support_rows, int(embed_support))
         else:
             # One step can touch at most batch_size × padded-seq-len
             # distinct rows per table; take the config's upper bound

@@ -131,7 +131,12 @@ def test_distill_cli_2a_end_to_end(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "fold 0" in out and "fold 1" in out
     import glob
-    assert glob.glob(str(tmp_path / "out" / "*_probs_fold_0.tsv"))
+    probs = glob.glob(str(tmp_path / "out" / "*_probs_fold_0.tsv"))
+    assert probs
+    # Distilled runs tag their run_id (train/loop.py) so combine
+    # --group-by-run-id separates plain vs distilled families.
+    from mpmc_tpu.io.tsv import read_run_id
+    assert read_run_id(probs[0]).endswith("_distill")
     # teacher cache was written
     assert glob.glob(str(tmp_path / "cache" / "distill_*.npz"))
 
