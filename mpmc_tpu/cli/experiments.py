@@ -445,6 +445,14 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
     # rows (train.loop.DeviceData; measured ~25-50 MB/s tunnel H2D makes
     # streamed pixel batches cost more than the device step itself).
     packing = cfg.data.pack_rows > 0 and kind in ("text", "multimodal")
+    if packing and (cfg.mesh.num_stage_shards > 1
+                    or cfg.mesh.num_seq_shards > 1):
+        # PP/SP swap the apply_fn for the stage-/seq-sharded one
+        # (_init_and_steps); the packed train apply would clobber it.
+        log.warning(
+            "--pack-rows is not supported with --pipeline-stages/"
+            "--seq-shards — training proceeds UNPACKED")
+        packing = False
     if cfg.data.pack_rows > 0 and not packing:
         # ADVICE r3 #4: never silently ignore the flag.
         log.warning(
@@ -580,6 +588,9 @@ def _run_folds_parallel(cfg: TrainConfig, model_factory, kind: str,
             "mesh.num_fold_shards must divide data.num_folds for "
             "fold-parallel training (the stacked fold axis shards over the "
             "mesh's fold dimension; 1 trains all folds on each device)")
+    if cfg.data.pack_rows > 0:
+        log.warning("--pack-rows is not supported with --fold-parallel — "
+                    "training proceeds UNPACKED")
     n = len(full_data["label"])
     bs = cfg.data.batch_size
     total_steps = ((n + bs - 1) // bs) * cfg.epochs
@@ -769,11 +780,9 @@ def run_subtask_2a(cfg: TrainConfig, out_dir: str = "outputs/2a",
     if cfg.distill_lambda > 0:
         # Classic→neural distillation (train/distill.py): per-fold
         # cross-fitted char-n-gram SVM soft targets over the SAME
-        # StratifiedKFold splits the fold loop uses.
-        if cfg.data.pack_rows > 0:
-            raise ValueError("--distill-lambda is not supported together "
-                             "with --pack-rows (packed batches re-compose "
-                             "rows; soft targets are per original row)")
+        # StratifiedKFold splits the fold loop uses.  Composes with
+        # --pack-rows: the packed plans thread the per-sample soft targets
+        # through their sample maps (train/packed.py).
         from mpmc_tpu.train.distill import ngram_soft_targets
         soft_targets = ngram_soft_targets(
             list(combined.texts), combined.labels,
@@ -942,9 +951,8 @@ def run_subtask_2c(cfg: TrainConfig, out_dir: str = "outputs/2c",
         # the 2C protocol's 5-fold train-only splits; the focal hard loss
         # mixes with the teacher soft-CE per row.  Teacher text is the raw
         # train manifest text — dev (the test split) is never touched.
-        if cfg.data.pack_rows > 0:
-            raise ValueError("--distill-lambda is not supported together "
-                             "with --pack-rows")
+        # Composes with --pack-rows (train/packed.py threads soft targets
+        # through the per-sample maps).
         from mpmc_tpu.train.distill import ngram_soft_targets
         soft_targets = ngram_soft_targets(
             list(train.texts), train.labels,

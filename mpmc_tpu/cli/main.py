@@ -129,6 +129,40 @@ def _cmd_extract_features(args):
     return 0
 
 
+def _resolve_recipe(args) -> None:
+    """Fill recipe-controlled flags the user left unset (VERDICT r4 #1:
+    fast and correct must be the same config).
+
+    'fast' is the production DEFAULT: sequence packing + factored-RMS
+    embedding tables + bf16 Adam mu + scan-fused dispatch — each lever
+    individually parity/quality-validated (STATUS.md quality table), and the
+    combination published as the fast-recipe 2A/2C rows.  'reference'
+    restores the reference execution model (dense f32 Adam, unpacked,
+    per-step dispatch — Multimodal_example_task2C.py:154-174's loop).
+    An explicitly passed flag always wins over its recipe value."""
+    fast = args.recipe == "fast"
+    if args.scan_steps is None:
+        args.scan_steps = 8 if fast else 1
+    if args.embedding_optimizer is None:
+        args.embedding_optimizer = "factored" if fast else "adam"
+    if args.adam_mu_dtype is None and fast:
+        args.adam_mu_dtype = "bfloat16"
+    if args.pack_rows is None:
+        # Packing is wired for 2A text and 2C multimodal training on the
+        # plain DP path (cli/experiments._run_folds); other drivers and the
+        # fold-/pipeline-/sequence-/tensor-parallel modes stay unpacked
+        # rather than warn on a default (an explicit --pack-rows still
+        # forces the flag through for those).
+        plain = (not args.fold_parallel and args.pipeline_stages <= 1
+                 and args.seq_shards <= 1 and args.model_shards <= 1)
+        if fast and plain and args.subtask == "2a":
+            args.pack_rows = 4
+        elif fast and plain and args.subtask == "2c" and not args.simple:
+            args.pack_rows = 8
+        else:
+            args.pack_rows = 0
+
+
 def _cmd_train(args):
     from mpmc_tpu.cli.experiments import (run_subtask_2a, run_subtask_2b,
                                           run_subtask_2c)
@@ -136,6 +170,7 @@ def _cmd_train(args):
                                  TrainConfig)
     from mpmc_tpu.models.pretrained import PretrainedSpec
 
+    _resolve_recipe(args)
     data = DataConfig(train_manifest=args.train_file_path,
                       dev_manifest=args.dev_file_path,
                       image_root=args.image_root,
@@ -675,6 +710,16 @@ def main(argv=None):
 
     p = sub.add_parser("train")
     p.add_argument("--subtask", choices=["2a", "2b", "2c"], required=True)
+    p.add_argument("--recipe", choices=["fast", "reference"], default="fast",
+                   help="production training recipe. 'fast' (DEFAULT) turns "
+                        "on the measured-fast levers — sequence packing "
+                        "(--pack-rows), factored-RMS embedding optimizer, "
+                        "bf16 Adam mu, scan-fused dispatch (x8) — all "
+                        "quality-validated on real data (STATUS.md); "
+                        "'reference' keeps the reference execution model "
+                        "(dense f32 Adam, unpacked, per-step dispatch). "
+                        "Any explicitly passed flag overrides its recipe "
+                        "value.")
     p.add_argument("--train-file-path", "-tr",
                    default="/root/reference/data/arabic_memes_propaganda_araieval_24_train.json")
     p.add_argument("--dev-file-path", "-te",
@@ -723,16 +768,18 @@ def main(argv=None):
                    help="restore the latest checkpoint per fold from "
                         "--checkpoint-dir before training (exact state: "
                         "params + optimizer + step)")
-    p.add_argument("--scan-steps", type=int, default=1,
+    p.add_argument("--scan-steps", type=int, default=None,
                    help=">1 fuses this many optimizer steps into one jitted "
                         "lax.scan dispatch (amortizes per-launch host "
-                        "round-trips on remote TPU links)")
-    p.add_argument("--pack-rows", type=int, default=0,
+                        "round-trips on remote TPU links). Default: set by "
+                        "--recipe (fast: 8)")
+    p.add_argument("--pack-rows", type=int, default=None,
                    help="2A throughput mode: >0 trains on batches of this "
                         "many sequence-PACKED rows (~8 samples each on this "
                         "corpus) with segment-masked attention instead of "
                         "--batch-size per-sample rows; eval stays unpacked "
-                        "(ops/packing.py)")
+                        "(ops/packing.py). 0 disables. Default: set by "
+                        "--recipe (fast: 4 for 2A, on for 2C)")
     p.add_argument("--image-arch", default=None,
                    help="image backbone from the 2B zoo (resnet18, "
                         "resnet50, resnext50_32x4d, seresnext50_32x4d, "
@@ -750,8 +797,9 @@ def main(argv=None):
     p.add_argument("--adam-mu-dtype", default=None,
                    choices=[None, "bfloat16", "float32"],
                    help="Adam first-moment dtype (bfloat16 halves its HBM "
-                        "traffic; default f32 = torch parity)")
-    p.add_argument("--embedding-optimizer", default="adam",
+                        "traffic, parity-tested; float32 = torch parity). "
+                        "Default: set by --recipe (fast: bfloat16)")
+    p.add_argument("--embedding-optimizer", default=None,
                    choices=["adam", "factored", "sparse"],
                    help="optimizer for the [vocab, hidden] word-embedding "
                         "tables: 'factored' = momentum-free factored-RMS "

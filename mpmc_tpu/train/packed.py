@@ -74,6 +74,12 @@ class PackedTrainPlan:
                                 self.pack_len, num_rows=self.row_budget,
                                 max_segments=self.max_segments)
         labels = np.asarray(d["label"])[perm]
+        # Distillation soft targets (train/distill.py) are per-sample like
+        # labels — thread them through the per-sample map so packed training
+        # composes with --distill-lambda instead of silently dropping the
+        # teacher signal.  0.5 on pad slots: valid=0 already masks the loss.
+        soft_all = (np.asarray(d["soft"], np.float32)[perm]
+                    if "soft" in d else None)
         G, B_cap = self.rows_per_batch, self.samples_per_batch
         for start in range(0, self.row_budget, G):
             rows = slice(start, start + G)
@@ -99,10 +105,15 @@ class PackedTrainPlan:
             start_of[:k] = packed.start_of[members]
             label[:k] = labels[members]
             valid = (np.arange(B_cap) < k).astype(np.float32)
-            yield ({"t_ids": ids, "t_segments": segs, "t_positions": poss,
-                    "t_row_of": row_of, "t_slot_of": slot_of,
-                    "t_start_of": start_of, "label": label,
-                    "valid": valid}, k)
+            batch = {"t_ids": ids, "t_segments": segs, "t_positions": poss,
+                     "t_row_of": row_of, "t_slot_of": slot_of,
+                     "t_start_of": start_of, "label": label,
+                     "valid": valid}
+            if soft_all is not None:
+                soft = np.full(B_cap, 0.5, np.float32)
+                soft[:k] = soft_all[members]
+                batch["soft"] = soft
+            yield (batch, k)
 
 
 @dataclasses.dataclass
