@@ -56,12 +56,28 @@ def learn_wordpiece_vocab(texts: Sequence[str], vocab_size: int = 8000,
     budget = max(vocab_size - len(vocab_list), 0)
     known = set(vocab_list)
 
+    # Incremental pair bookkeeping (ADVICE r4: the recount-everything loop
+    # was O(vocab_size × corpus symbols) — hours at --corpus-vocab-size
+    # 30000).  Maintain global pair frequencies plus an inverted index
+    # pair → words containing it; each merge touches only those words.
+    pair_freq: Dict[Tuple[str, str], int] = {}
+    pair_words: Dict[Tuple[str, str], set] = {}
+
+    def _count(seq: List[str], w: str, c: int, sign: int) -> None:
+        for p in zip(seq, seq[1:]):
+            f = pair_freq.get(p, 0) + sign * c
+            if f > 0:
+                pair_freq[p] = f
+                if sign > 0:
+                    pair_words.setdefault(p, set()).add(w)
+            else:
+                pair_freq.pop(p, None)
+                pair_words.pop(p, None)
+
+    for w, seq in seqs.items():
+        _count(seq, w, counts[w], +1)
+
     for _ in range(budget):
-        pair_freq: Dict[Tuple[str, str], int] = {}
-        for w, seq in seqs.items():
-            c = counts[w]
-            for a, b in zip(seq, seq[1:]):
-                pair_freq[(a, b)] = pair_freq.get((a, b), 0) + c
         if not pair_freq:
             break
         # deterministic: max by (freq, pair) so ties break lexically
@@ -69,9 +85,9 @@ def learn_wordpiece_vocab(texts: Sequence[str], vocab_size: int = 8000,
         if best < min_pair_freq:
             break
         merged = a + b[2:] if b.startswith("##") else a + b
-        for w, seq in seqs.items():
-            if a not in seq:
-                continue
+        for w in list(pair_words.get((a, b), ())):
+            seq, c = seqs[w], counts[w]
+            _count(seq, w, c, -1)
             out, i = [], 0
             while i < len(seq):
                 if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
@@ -81,6 +97,10 @@ def learn_wordpiece_vocab(texts: Sequence[str], vocab_size: int = 8000,
                     out.append(seq[i])
                     i += 1
             seqs[w] = out
+            _count(out, w, c, +1)
+        # the merged pair must be gone (guards index-staleness bugs)
+        pair_freq.pop((a, b), None)
+        pair_words.pop((a, b), None)
         if merged not in known:
             vocab_list.append(merged)
             known.add(merged)
