@@ -48,12 +48,13 @@ except Exception:
 
 from mpmc_tpu.ops.attention import dot_product_attention
 
-B, ST, SC, H, NH, F, L = 16, 128, 64, 768, 12, 3072, 12
+B = int(os.environ.get("MPMC_FEB_B", "16"))  # must be even (caption 2-pack)
+ST, SC, H, NH, F, L = 128, 64, 768, 12, 3072, 12
 HD = H // NH
 EPS = (1e-12, 1e-5)  # AraBERT vs RoBERTa layer_norm_eps
 K = int(os.environ.get("MPMC_FEB_SCAN", "8"))
 REPS = int(os.environ.get("MPMC_FEB_REPS", "5"))
-C = 1024  # token block size for the fused plan
+C = B * SC  # token block size: caption tokens fill 1 block, text fills 2
 
 
 def init_params(key, branches=2):
