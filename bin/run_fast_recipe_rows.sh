@@ -26,7 +26,8 @@ if [ ! -d "$SNAP" ]; then
   cp -r "$REPO/mpmc_tpu" "$REPO/native" "$REPO/pyproject.toml" "$SNAP/"
 fi
 cd "$SNAP"
-export PYTHONPATH="$SNAP"
+# prepend (not replace): the TPU backend plugin is on the ambient PYTHONPATH
+export PYTHONPATH="$SNAP${PYTHONPATH:+:$PYTHONPATH}"
 
 run() {  # run <name> <args...>
   local name=$1; shift
