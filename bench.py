@@ -189,18 +189,21 @@ def _measure_driver_path(mcfg, batch_size, text_len, cap_len, scan_k):
     return batch_size / dt, dt
 
 
-def _measure_packed(mcfg, batch_size, text_len, cap_len, scan_k):
+def _measure_packed(mcfg, batch_size, text_len, cap_len, scan_k, **cfg_kw):
     """2C sequence packing (train --subtask 2c --pack-rows): the same
     batch_size samples per step, but their text/caption tokens packed into
     ~padding-ratio fewer transformer rows (segment-masked attention,
     ops/packing.py).  Lengths drawn from the real corpus profile (~15 text
-    / ~20 caption tokens vs the 128/64 buckets)."""
+    / ~20 caption tokens vs the 128/64 buckets).  ``cfg_kw`` forwards
+    TrainConfig overrides — with ``embedding_optimizer='factored',
+    adam_mu_dtype='bfloat16'`` this is the full ``--recipe fast`` config,
+    the production `train` default."""
     from mpmc_tpu.models.classifier import PackedMultimodalClassifier
     from mpmc_tpu.train.packed import (PackedMultimodalPlan,
                                        make_packed_multimodal_apply_fn)
 
     cfg = TrainConfig(model=mcfg, data=DataConfig(batch_size=batch_size),
-                      scan_steps=scan_k)
+                      scan_steps=scan_k, **cfg_kw)
     rng = np.random.default_rng(0)
     N = 512
     t_lens = np.clip(rng.poisson(15, N), 3, text_len)
@@ -251,6 +254,67 @@ def _measure_packed(mcfg, batch_size, text_len, cap_len, scan_k):
     return batch_size / dt, dt
 
 
+def _measure_input_pipeline(mcfg, batch_size, text_len, cap_len,
+                            dispatches=40):
+    """BASELINE.md "zero input-pipeline stalls", measured (VERDICT r4 weak
+    #6): the host-fed (non device-resident) train path — batch_iter
+    (shuffle + pad + valid mask) → prefetch_batches(put=jax.device_put,
+    depth 2) → the real train step with the production windowed metric
+    fetch — reporting how long the consumer ever waited on the input
+    queue.  The default device-resident driver path ships only a [K,B]
+    int32 index + valid mask per dispatch (µs-scale host work); this
+    measures the one mode with a real per-step H2D payload (uint8 pixels +
+    token ids ≈ 2.4 MB/batch; the reference pays decode + transform + H2D
+    synchronously inside every step, Multimodal_example_task2C.py:703-708).
+    Returns a dict: wait/put ms per dispatch, empty-get fraction, ms/step."""
+    from mpmc_tpu.cli.experiments import make_apply_fn
+    from mpmc_tpu.train.loop import batch_iter, prefetch_batches
+
+    cfg = TrainConfig(model=mcfg, data=DataConfig(batch_size=batch_size))
+    model = MultimodalClassifier(mcfg)
+    apply_fn = make_apply_fn(model, "multimodal", augment_images=True)
+    rng = np.random.default_rng(0)
+    N = dispatches * batch_size
+    data = _batch(rng, mcfg, N, text_len, cap_len)
+    data["image"] = rng.integers(0, 255, (N, mcfg.image.image_size,
+                                          mcfg.image.image_size, 3)
+                                 ).astype(np.uint8)
+    variables = model.init(
+        jax.random.key(0), data["text_ids"][:2], data["text_mask"][:2],
+        data["image"][:2].astype(np.float32) / 255.0,
+        data["caption_ids"][:2], data["caption_mask"][:2])
+    tx = make_optimizer(cfg, total_steps=1000)
+    state, _ = create_train_state(variables, tx)
+    step_fn = jax.jit(build_train_step_fn(apply_fn, cfg, tx))
+
+    def run_epoch(stats):
+        nonlocal state
+        it = batch_iter(data, batch_size, shuffle=True,
+                        rng=np.random.default_rng(1), with_valid=True)
+        pending = []
+        t0 = time.perf_counter()
+        for i, (dev_batch, _hb, _nv) in enumerate(
+                prefetch_batches(it, put=jax.device_put, stats=stats)):
+            state, metrics = step_fn(state, dev_batch, jax.random.key(i))
+            pending.append(metrics)  # windowed fetch, as the train loop does
+        float(np.ravel(jax.device_get(pending)[-1]["loss"])[-1])
+        return time.perf_counter() - t0
+
+    run_epoch({})  # warmup epoch: compile + cache page-in
+    stats: dict = {}
+    wall = run_epoch(stats)
+    gets = max(int(stats.get("gets", 0)), 1)
+    return {
+        "host_wait_ms_per_dispatch": round(1e3 * stats.get("wait_s", 0) /
+                                           gets, 3),
+        "h2d_put_ms_per_dispatch": round(1e3 * stats.get("put_s", 0) /
+                                         gets, 3),
+        "empty_get_frac": round(stats.get("empty_gets", 0) / gets, 3),
+        "dispatches": gets,
+        "ms_per_step": round(1e3 * wall / gets, 2),
+    }
+
+
 def _step_tflop(mcfg, text_len, cap_len, batch):
     """Approximate fwd+bwd TFLOP per step (matmul-dominated terms only):
     dense transformer 72·B·S·H² + attention 12·B·S²·H per layer-triple
@@ -298,6 +362,12 @@ def main():
     # The real 2C driver buckets this corpus to text 128 / caption 64
     # (bucket_seq_len over the train+dev manifests; multiples of 64).
     bucket_text, bucket_cap = 128, 64
+    if os.environ.get("MPMC_BENCH_TINY"):
+        # CI/CPU smoke mode: exercise every bench code path on a tiny model
+        # so a bench.py regression is caught before the round-end real-chip
+        # run.  Numbers are meaningless; the JSON schema is the test.
+        mcfg = ModelConfig.tiny_2c()
+        bucket_text, bucket_cap = 32, 32
     scan_k = int(os.environ.get("MPMC_BENCH_SCAN", "8"))
     # Soft budget for the non-headline extras: every config compiles its
     # own programs (~minutes each through a tunneled chip), and the
@@ -305,18 +375,36 @@ def main():
     budget_s = float(os.environ.get("MPMC_BENCH_BUDGET_S", "2400"))
     t_start = time.perf_counter()
 
-    headline, dt = _measure(mcfg, 16, bucket_text, bucket_cap, scan_k=scan_k)
+    # The headline measures the PRODUCTION DEFAULT config (`--recipe fast`,
+    # the `train` default since round 5): sequence packing + factored-RMS
+    # embedding optimizer + bf16 Adam mu + scan-fused dispatch.  VERDICT r4
+    # weak #1: fast and correct must be the same config — quality rows for
+    # this exact recipe are trained by bin/run_fast_recipe_rows.sh.
+    headline, dt = _measure_packed(mcfg, 16, bucket_text, bucket_cap, scan_k,
+                                   embedding_optimizer="factored",
+                                   adam_mu_dtype="bfloat16")
 
-    def extra(fn, *a, **kw):
+    def extra_full(fn, *a, **kw):
         if time.perf_counter() - t_start > budget_s:
             return None
         try:
-            return fn(*a, **kw)[0]
+            return fn(*a, **kw)
         except Exception:
             return None
 
+    def extra(fn, *a, **kw):
+        r = extra_full(fn, *a, **kw)
+        return r[0] if r else None
+
+    # r1-r4 headline config (--recipe reference + scan): unpacked rows,
+    # dense Adam — kept for cross-round comparability.
+    ref_r = extra_full(_measure, mcfg, 16, bucket_text, bucket_cap,
+                       scan_k=scan_k)
+    unpacked16, unpacked_dt = ref_r if ref_r else (None, None)
     driver16 = extra(_measure_driver_path, mcfg, 16, bucket_text,
                      bucket_cap, scan_k)
+    pipe16 = extra_full(_measure_input_pipeline, mcfg, 16, bucket_text,
+                        bucket_cap)
     bs64 = extra(_measure, mcfg, 64, bucket_text, bucket_cap, scan_k=scan_k)
     per_step16 = extra(_measure, mcfg, 16, bucket_text, bucket_cap)
     fixed512 = extra(_measure, mcfg, 16, mcfg.max_text_len,
@@ -338,7 +426,11 @@ def main():
     packed16 = extra(_measure_packed, mcfg, 16, bucket_text, bucket_cap,
                      scan_k)
 
-    mfu = _step_tflop(mcfg, bucket_text, bucket_cap, 16) / dt / PEAK_TFLOPS
+    # Matmul-MFU diagnostic on the UNPACKED program (the packed headline
+    # does fewer padded-row FLOPs per meme, so the bucketed-FLOP estimate
+    # would overstate its MFU).
+    mfu = (_step_tflop(mcfg, bucket_text, bucket_cap, 16) / unpacked_dt
+           / PEAK_TFLOPS) if unpacked_dt else None
 
     # Step-time decomposition measured by tools/step_breakdown.py on the
     # real chip (fwd / fwd+bwd / optimizer-only / augment / per-branch +
@@ -366,14 +458,17 @@ def main():
         vs = headline / (baseline * ratio)
 
     detailed = {
-        "metric": ("2C fine-tune fwd+bwd throughput (AraBERT+RoBERTa+"
-                   "ResNet18, bs16, corpus-bucketed seq 128/64, "
-                   f"scan-fused dispatch x{scan_k})"),
+        "metric": ("2C train-step throughput, production-default fast "
+                   "recipe (AraBERT+RoBERTa+ResNet18, bs16, corpus-bucketed "
+                   "seq 128/64, sequence packing + factored-RMS embeddings "
+                   f"+ bf16 Adam mu, scan-fused dispatch x{scan_k})"),
         "value": round(headline, 2),
         "unit": "memes/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
         "extras": {
             # None = skipped (bench time budget MPMC_BENCH_BUDGET_S hit)
+            "unpacked_reference_recipe_bs16": (round(unpacked16, 2)
+                                               if unpacked16 else None),
             "per_step_dispatch_bs16": (round(per_step16, 2)
                                        if per_step16 else None),
             "fixed_seq512_bs16": round(fixed512, 2) if fixed512 else None,
@@ -382,8 +477,11 @@ def main():
             "tuned_optimizer_bs16": round(tuned16, 2) if tuned16 else None,
             "sparse_optimizer_bs16": round(sparse16, 2) if sparse16 else None,
             "packed_2c_bs16": round(packed16, 2) if packed16 else None,
+            "input_pipeline_bs16": pipe16,
             "step_ms_bs16": round(dt * 1e3, 1),
-            "approx_matmul_mfu_bs16": round(mfu, 3),
+            "unpacked_step_ms_bs16": (round(unpacked_dt * 1e3, 1)
+                                      if unpacked_dt else None),
+            "approx_matmul_mfu_bs16": round(mfu, 3) if mfu else None,
             "breakdown": breakdown,
             "roofline_note": (
                 "bs16 is not matmul-bound: fwd+bwd alone runs at ~0.32 "
@@ -410,13 +508,27 @@ def main():
                 "fwd+bwd floor (26.8 ms) at bs16."),
             "note": ("image pixels synthetic (no image tarball in this "
                      "environment); token ids random — identical compute "
-                     "to real data. scan-fused = cfg.scan_steps (K "
-                     "optimizer steps per device dispatch). driver_path = "
-                     "device-resident dataset + in-step row-gather + "
-                     "uint8 pixels with full on-device augmentation (what "
-                     "`cli train` runs). vs_baseline scales the torch-CPU "
-                     "fixed-512 measurement to the bucketed workload by "
-                     "matmul FLOPs."),
+                     "to real data. HEADLINE = the production `train` "
+                     "default (--recipe fast: packing + factored + bf16 mu "
+                     "+ scan); unpacked_reference_recipe_bs16 is the "
+                     "r1-r4 headline config for comparability. scan-fused "
+                     "= cfg.scan_steps (K optimizer steps per device "
+                     "dispatch). driver_path = device-resident dataset + "
+                     "in-step row-gather + uint8 pixels with full "
+                     "on-device augmentation (what `cli train` runs); its "
+                     "few-% gap vs the bare step is in-step DEVICE work "
+                     "(row gather + augment chain + uint8 normalize), not "
+                     "host waits — the resident mode ships only a [K,B] "
+                     "int32 index + valid mask per dispatch. "
+                     "input_pipeline_bs16 measures the NON-resident "
+                     "host-fed path's stalls (prefetch_batches stats): "
+                     "host_wait = consumer blocked on the input queue, "
+                     "h2d_put = producer-side device_put (overlapped with "
+                     "compute; through this tunneled chip it is orders "
+                     "slower than a local PCIe/ICI host link). "
+                     "vs_baseline scales the torch-CPU fixed-512 "
+                     "measurement to the bucketed workload by matmul "
+                     "FLOPs."),
         },
     }
     # Detailed record first, compact headline LAST: the driver keeps only a

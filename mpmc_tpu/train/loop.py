@@ -68,13 +68,21 @@ def batch_iter(data: Dict[str, np.ndarray], batch_size: int,
 
 def prefetch_batches(it: Iterator[Tuple[Dict[str, np.ndarray], int]],
                      put: Callable = lambda b: b, depth: int = 2,
+                     stats: Optional[Dict[str, float]] = None,
                      ) -> Iterator[Tuple[object, Dict[str, np.ndarray], int]]:
     """Device-side double buffering: run ``put`` (typically a sharded
     ``jax.device_put``) on a background thread ``depth`` batches ahead, so
     host→device copies overlap the previous step's compute.  The reference
     pays this copy synchronously per step (``Multimodal_example_task2C.py:
     703-708``).  Yields ``(device_batch, host_batch, n_valid)`` — the host
-    batch is kept for failure-dump postmortems."""
+    batch is kept for failure-dump postmortems.
+
+    ``stats`` (optional dict, updated in place) quantifies the BASELINE.md
+    "zero input-pipeline stalls" target instead of asserting it: ``gets``
+    (batches consumed), ``empty_gets`` (the queue was empty when the
+    consumer asked — the producer fell behind the dispatch rate),
+    ``wait_s`` (total consumer time blocked in the queue), and ``put_s``
+    (producer time inside ``put`` — the H2D copy share)."""
     import queue
     import threading
 
@@ -85,14 +93,31 @@ def prefetch_batches(it: Iterator[Tuple[Dict[str, np.ndarray], int]],
     def producer():
         try:
             for batch, n_valid in it:
-                q.put((put(batch), batch, n_valid))
+                if stats is not None:
+                    p0 = time.perf_counter()
+                    dev = put(batch)
+                    stats["put_s"] = (stats.get("put_s", 0.0)
+                                      + time.perf_counter() - p0)
+                    q.put((dev, batch, n_valid))
+                else:
+                    q.put((put(batch), batch, n_valid))
         except BaseException as e:  # surface on the consumer thread
             errs.append(e)
         q.put(STOP)
 
     threading.Thread(target=producer, daemon=True).start()
     while True:
-        item = q.get()
+        if stats is not None:
+            empty = q.empty()
+            t0 = time.perf_counter()
+            item = q.get()
+            stats["wait_s"] = (stats.get("wait_s", 0.0)
+                               + time.perf_counter() - t0)
+            if item is not STOP:
+                stats["gets"] = stats.get("gets", 0) + 1
+                stats["empty_gets"] = stats.get("empty_gets", 0) + int(empty)
+        else:
+            item = q.get()
         if item is STOP:
             break
         yield item
@@ -237,6 +262,9 @@ class FitResult:
     best_threshold: float
     best_probs: Optional[np.ndarray]
     history: List[Dict]
+    # Input-pipeline stall counters (prefetch_batches stats): gets /
+    # empty_gets / wait_s, cumulative over the run.
+    input_pipeline: Dict[str, float] = dataclasses.field(default_factory=dict)
 
 
 def fit(state, train_step, eval_step, cfg: TrainConfig,
@@ -368,6 +396,7 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
     from mpmc_tpu.utils.profiling import StepTimer
     timer = StepTimer()
     dispatch_no, prof_started, prof_done = 0, False, False
+    pf_stats: Dict[str, float] = {}  # input-pipeline stall counters
 
     # Metric fetches are batched per logging window instead of per step:
     # a per-step float(metrics["loss"]) blocks async dispatch and costs one
@@ -452,7 +481,7 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
             grouped, put_fn = step_it, put
         bi = 0
         for dev_batch, host_batch, n_valid in prefetch_batches(
-                grouped, put_fn):
+                grouped, put_fn, stats=pf_stats):
             group_size = len(n_valid) if isinstance(n_valid, list) else 1
             if epoch == start_epoch and bi + group_size <= resume_bi:
                 # Mid-epoch resume: replay the pre-crash prefix without
@@ -551,10 +580,15 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
                                                    "threshold": best_thr})
         flush_metrics()
         stats = timer.stats(batch_size=bs)
+        gets = int(pf_stats.get("gets", 0))
         log.info("TRAIN | Epoch [%d] done in %.1fs | loss %.4f | "
-                 "%.1f items/s (p50 %.0f ms/step)", epoch,
+                 "%.1f items/s (p50 %.0f ms/step) | input-wait %.2f ms/"
+                 "dispatch (%d/%d empty gets)", epoch,
                  time.time() - t0, float(np.mean(losses)),
                  stats.get("items_per_sec", 0.0),
-                 stats.get("step_ms_p50", 0.0))
+                 stats.get("step_ms_p50", 0.0),
+                 1e3 * pf_stats.get("wait_s", 0.0) / max(gets, 1),
+                 int(pf_stats.get("empty_gets", 0)), gets)
 
-    return FitResult(state, best_f1, best_thr, best_probs, history)
+    return FitResult(state, best_f1, best_thr, best_probs, history,
+                     input_pipeline=dict(pf_stats))

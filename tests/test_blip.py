@@ -92,6 +92,7 @@ def test_blip_generate_parity(hf_blip, rng):
                 break
 
 
+@pytest.mark.slow  # heavy parity: covered by the per-round --runslow suite
 def test_captioner_cross_attends_full_patch_sequence(rng):
     """encode_image returns the full patch-token memory (VERDICT r1 weak #4:
     a pooled single token starved the decoder of spatial detail), and the

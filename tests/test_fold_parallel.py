@@ -63,6 +63,7 @@ def test_fold_parallel_two_folds(rng, tmp_path):
     assert check_format(f"{prefix}.tsv")
 
 
+@pytest.mark.slow  # heavy parity: covered by the per-round --runslow suite
 def test_fold_parallel_scan_fused(rng, tmp_path):
     """cfg.scan_steps > 1 in the fold-parallel driver with the (default)
     device-resident dataset: K steps × all folds per dispatch, only
@@ -127,6 +128,7 @@ def test_driver_fold_parallel_2a(rng, tmp_path):
         assert os.path.exists(str(tmp_path / f"task2A_kevinmathew_probs_fold_{k}.tsv"))
 
 
+@pytest.mark.slow  # heavy parity: covered by the per-round --runslow suite
 def test_fold_parallel_reference_semantics(rng, tmp_path, caplog):
     """VERDICT r2 #4: the fold-parallel driver now has the reference's
     training semantics — mid-epoch eval at check_interval (C17 cadence),

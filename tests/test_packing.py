@@ -106,6 +106,7 @@ def _model_pair(pooling=PoolingType.ATTENTION, roberta=False):
     (PoolingType.MEAN, False),
     (PoolingType.CLS, True),
 ])
+@pytest.mark.slow  # heavy parity: covered by the per-round --runslow suite
 def test_packed_text_classifier_parity(pooling, roberta, rng):
     mcfg, plain, packed_model = _model_pair(pooling, roberta)
     ids, mask = _ragged_batch(rng)
@@ -146,6 +147,7 @@ def test_packed_grad_parity(rng):
             err_msg=jax.tree_util.keystr(path))
 
 
+@pytest.mark.slow  # heavy parity: covered by the per-round --runslow suite
 def test_packed_multimodal_parity(rng):
     mcfg = ModelConfig.tiny_2c()
     plain = MultimodalClassifier(mcfg)

@@ -49,6 +49,7 @@ def _mesh():
 
 @pytest.mark.parametrize("pooling",
                          [PoolingType.CLS, PoolingType.ATTENTION])
+@pytest.mark.slow  # heavy parity: covered by the per-round --runslow suite
 def test_pp_forward_parity(pooling):
     mcfg, model, params, ids, mask, _ = _setup(pooling)
     ref = model.apply({"params": params}, ids, mask, train=False)

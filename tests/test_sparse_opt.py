@@ -221,6 +221,7 @@ def test_make_optimizer_sparse_trains_text_classifier():
     assert len(moved) > 0
 
 
+@pytest.mark.slow  # heavy parity: covered by the per-round --runslow suite
 def test_sparse_state_vmaps_for_fold_parallel():
     """The wrapper must survive vmap over a stacked-fold axis (the
     fold-parallel driver vmaps build_train_step_fn)."""

@@ -185,6 +185,7 @@ def test_tp_driver_end_to_end(tmp_path):
     assert res.fold_results[0].best_macro_f1 > 0.8
 
 
+@pytest.mark.slow  # heavy parity: covered by the per-round --runslow suite
 def test_tp_checkpoint_restores_unsharded(tmp_path):
     """A checkpoint saved from a TP-sharded TrainState restores into an
     unsharded template byte-equal (orbax resolves shardings on read), so

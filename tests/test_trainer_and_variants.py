@@ -122,6 +122,7 @@ def test_train_augment_shapes(rng):
     assert cropped.shape == (4, 16, 16, 3)
 
 
+@pytest.mark.slow  # heavy parity: covered by the per-round --runslow suite
 def test_rotate_shear_matches_bilinear_gather(rng):
     """The gather-free Paeth 3-shear rotation (TPU-friendly: weighted rolls)
     agrees with the direct bilinear-gather oracle in the image interior

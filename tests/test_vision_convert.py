@@ -140,6 +140,7 @@ def test_resnet18_conversion_parity(rng):
     _compare_resnet(_TorchBasic, (2, 2, 2, 2), (16, 32, 32, 64), "basic", rng)
 
 
+@pytest.mark.slow  # heavy parity: covered by the per-round --runslow suite
 def test_resnet50_conversion_parity(rng):
     """reference shipped-folds run + organizer 2C baseline (resnet50)."""
     _compare_resnet(_TorchBottleneck, (1, 1, 2, 1), (8, 16, 16, 32),
@@ -236,6 +237,7 @@ def test_vit_timm_layout_conversion(rng):
 # ConvNeXt — HF ConvNextModel oracle
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow  # heavy parity: covered by the per-round --runslow suite
 def test_convnext_hf_conversion_parity(rng):
     from transformers import ConvNextConfig, ConvNextModel
     from mpmc_tpu.models.convnext import ConvNeXt
