@@ -636,6 +636,13 @@ def main(argv=None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    """The full CLI parser (exposed so tests can resolve flag/recipe
+    defaults without running a command)."""
     parser = argparse.ArgumentParser(prog="mpmc_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
@@ -974,8 +981,7 @@ def main(argv=None):
     p = sub.add_parser("smoke")
     p.set_defaults(fn=_cmd_smoke)
 
-    args = parser.parse_args(argv)
-    return args.fn(args)
+    return parser
 
 
 if __name__ == "__main__":

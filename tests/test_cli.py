@@ -296,3 +296,45 @@ def test_cli_analyze(tmp_path, capsys):
     assert '"macro_f1": 0.417910447761194' in out  # majority predictions
     assert "misclassified: 88/312" in out  # the 88 propaganda dev rows
     assert "top words among misclassified" in out
+
+
+def test_recipe_resolution_defaults_and_overrides():
+    """--recipe fast is the production train default (VERDICT r4 #1: fast
+    and correct are the same config); 'reference' restores the reference
+    execution model; any explicitly passed flag beats its recipe value."""
+    from mpmc_tpu.cli.main import _resolve_recipe, build_parser
+
+    parser = build_parser()
+
+    args = parser.parse_args(["train", "--subtask", "2a"])
+    _resolve_recipe(args)
+    assert (args.scan_steps, args.embedding_optimizer, args.adam_mu_dtype,
+            args.pack_rows) == (8, "factored", "bfloat16", 4)
+
+    args = parser.parse_args(["train", "--subtask", "2c"])
+    _resolve_recipe(args)
+    assert args.pack_rows == 8
+
+    # non-plain paths (fold-/pipeline-/sequence-/tensor-parallel) and
+    # 2C --simple default to unpacked
+    args = parser.parse_args(["train", "--subtask", "2a", "--fold-parallel"])
+    _resolve_recipe(args)
+    assert args.pack_rows == 0 and args.embedding_optimizer == "factored"
+    args = parser.parse_args(["train", "--subtask", "2c", "--simple"])
+    _resolve_recipe(args)
+    assert args.pack_rows == 0
+
+    args = parser.parse_args(["train", "--subtask", "2a",
+                              "--recipe", "reference"])
+    _resolve_recipe(args)
+    assert (args.scan_steps, args.embedding_optimizer, args.adam_mu_dtype,
+            args.pack_rows) == (1, "adam", None, 0)
+
+    # explicit flags always win over the recipe
+    args = parser.parse_args(["train", "--subtask", "2a",
+                              "--embedding-optimizer", "adam",
+                              "--pack-rows", "2", "--scan-steps", "3"])
+    _resolve_recipe(args)
+    assert (args.scan_steps, args.embedding_optimizer, args.pack_rows) == \
+        (3, "adam", 2)
+    assert args.adam_mu_dtype == "bfloat16"  # untouched flag: recipe value

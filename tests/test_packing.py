@@ -346,3 +346,44 @@ def test_pack_rows_warns_for_unsupported_kind(tmp_path, caplog):
                    [f"d/x_{i}.jpg" for i in range(n)], None, None,
                    str(tmp_path), "task2B", folds=[5])
     assert any("pack-rows is not supported" in m for m in caplog.messages)
+
+
+def test_packed_plan_threads_soft_targets(rng):
+    """--pack-rows composes with --distill-lambda: PackedTrainPlan must
+    carry the per-sample teacher probabilities through its shuffle + pack
+    sample map, aligned with the labels, with 0.5 on pad slots (valid=0
+    masks those from the loss).  Before round 5 packed training silently
+    dropped the teacher signal."""
+    from mpmc_tpu.train.packed import PackedMultimodalPlan, PackedTrainPlan
+
+    n, seq = 37, 24
+    lens = rng.integers(3, seq, n)
+    ids = rng.integers(5, 100, (n, seq)).astype(np.int32)
+    mask = (np.arange(seq)[None, :] < lens[:, None]).astype(np.int32)
+    label = rng.integers(0, 2, n).astype(np.int32)
+    soft = np.where(label == 1, 0.9, 0.1).astype(np.float32)
+    soft += rng.random(n).astype(np.float32) * 1e-3  # unique per sample
+
+    plan = PackedTrainPlan({"text_ids": ids, "text_mask": mask,
+                            "label": label, "soft": soft},
+                           pack_len=seq, rows_per_batch=4)
+    seen = 0
+    for batch, k in plan.epoch_iter(np.random.default_rng(0)):
+        assert batch["soft"].shape == batch["label"].shape
+        # teacher prob must stay aligned with its sample's label
+        got = batch["soft"][:k]
+        want = np.where(batch["label"][:k] == 1, 0.9, 0.1)
+        np.testing.assert_allclose(got, want, atol=2e-3)
+        np.testing.assert_array_equal(batch["soft"][k:], 0.5)
+        seen += k
+    assert seen == n
+
+    # The multimodal plan copies every per-sample field generically.
+    mm = PackedMultimodalPlan(
+        {"text_ids": ids, "text_mask": mask, "label": label, "soft": soft,
+         "image": rng.random((n, 8, 8, 3)).astype(np.float32)},
+        batch_size=8)
+    batch, k = next(iter(mm.epoch_iter(np.random.default_rng(0))))
+    np.testing.assert_allclose(
+        batch["soft"][:k],
+        np.where(batch["label"][:k] == 1, 0.9, 0.1), atol=2e-3)
