@@ -217,8 +217,11 @@ def _measure_packed(mcfg, batch_size, text_len, cap_len, scan_k, **cfg_kw):
                                     (N, cap_len)).astype(np.int32),
         "caption_mask": (np.arange(cap_len)[None, :]
                          < c_lens[:, None]).astype(np.int32),
-        "image": rng.random((N, mcfg.image.image_size, mcfg.image.image_size,
-                             3)).astype(np.float32),
+        # uint8 pixels + the full on-device augmentation chain: exactly what
+        # the packed 2C driver trains with (cli/experiments.py:329).
+        "image": rng.integers(0, 255, (N, mcfg.image.image_size,
+                                       mcfg.image.image_size, 3)
+                              ).astype(np.uint8),
         "label": (rng.random(N) > 0.6).astype(np.int32),
     }
     plan = PackedMultimodalPlan(data, batch_size=batch_size)
@@ -230,13 +233,15 @@ def _measure_packed(mcfg, batch_size, text_len, cap_len, scan_k, **cfg_kw):
     stacked = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
 
     packed_model = PackedMultimodalClassifier(mcfg)
-    apply_fn = make_packed_multimodal_apply_fn(packed_model)
+    apply_fn = make_packed_multimodal_apply_fn(packed_model,
+                                               augment_images=True)
     ex = batches[0]
     tp = {k[2:]: ex[k] for k in ("t_ids", "t_segments", "t_positions",
                                  "t_row_of", "t_slot_of", "t_start_of")}
     cp = {k[2:]: ex[k] for k in ("c_ids", "c_segments", "c_positions",
                                  "c_row_of", "c_slot_of", "c_start_of")}
-    variables = packed_model.init(jax.random.key(0), tp, ex["image"], cp)
+    variables = packed_model.init(jax.random.key(0), tp,
+                                  ex["image"].astype(np.float32) / 255.0, cp)
     tx = make_optimizer(cfg, total_steps=1000)
     state, _ = create_train_state(variables, tx)
     step_fn = make_scan_train_step(apply_fn, cfg, tx)
