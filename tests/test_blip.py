@@ -41,6 +41,7 @@ def hf_blip():
     return model, cfg, params
 
 
+@pytest.mark.slow  # ~30s fixture+call: the BLIP graph's torch-parity oracle
 def test_blip_logits_parity(hf_blip, rng):
     model, cfg, params = hf_blip
     B, S = 2, 7
