@@ -197,10 +197,19 @@ def _measure_packed(mcfg, batch_size, text_len, cap_len, scan_k, **cfg_kw):
     / ~20 caption tokens vs the 128/64 buckets).  ``cfg_kw`` forwards
     TrainConfig overrides — with ``embedding_optimizer='factored',
     adam_mu_dtype='bfloat16'`` this is the full ``--recipe fast`` config,
-    the production `train` default."""
+    the production `train` default.
+
+    Measures the TRUE driver path: the image store is device-resident
+    (uploaded once) and each timed dispatch ships the per-group HOST
+    payload — stacked packed token rows + img_idx, ~KB — exactly like
+    `cli train`'s packed fit loop (PackedMultimodalPlan with
+    resident_images + train.step.make_packed_gather_scan_train_step).
+    Host-side FFD packing runs on the prefetch thread in the driver and is
+    prebuilt here (overlapped either way)."""
     from mpmc_tpu.models.classifier import PackedMultimodalClassifier
     from mpmc_tpu.train.packed import (PackedMultimodalPlan,
                                        make_packed_multimodal_apply_fn)
+    from mpmc_tpu.train.step import make_packed_gather_scan_train_step
 
     cfg = TrainConfig(model=mcfg, data=DataConfig(batch_size=batch_size),
                       scan_steps=scan_k, **cfg_kw)
@@ -224,38 +233,48 @@ def _measure_packed(mcfg, batch_size, text_len, cap_len, scan_k, **cfg_kw):
                               ).astype(np.uint8),
         "label": (rng.random(N) > 0.6).astype(np.int32),
     }
-    plan = PackedMultimodalPlan(data, batch_size=batch_size)
-    batches = []
+    plan = PackedMultimodalPlan(data, batch_size=batch_size,
+                                resident_images=True)
+
+    # One epoch's scan groups, cycled: within an epoch every batch shares
+    # the plan's pinned row budget (one static shape → one compile).
+    epoch_groups, chunk = [], []
     for b, _k in plan.epoch_iter(np.random.default_rng(1)):
-        batches.append(b)
-        if len(batches) == scan_k:
-            break
-    stacked = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+        chunk.append(b)
+        if len(chunk) == scan_k:
+            epoch_groups.append({k: np.stack([x[k] for x in chunk])
+                                 for k in chunk[0]})
+            chunk = []
+    dispatches = max(STEPS // scan_k, 3)
+    host_groups = [epoch_groups[i % len(epoch_groups)]
+                   for i in range(WARMUP + dispatches)]
 
     packed_model = PackedMultimodalClassifier(mcfg)
     apply_fn = make_packed_multimodal_apply_fn(packed_model,
                                                augment_images=True)
-    ex = batches[0]
+    ex = {k: v[0] for k, v in host_groups[0].items()}
     tp = {k[2:]: ex[k] for k in ("t_ids", "t_segments", "t_positions",
                                  "t_row_of", "t_slot_of", "t_start_of")}
     cp = {k[2:]: ex[k] for k in ("c_ids", "c_segments", "c_positions",
                                  "c_row_of", "c_slot_of", "c_start_of")}
-    variables = packed_model.init(jax.random.key(0), tp,
-                                  ex["image"].astype(np.float32) / 255.0, cp)
+    variables = packed_model.init(
+        jax.random.key(0), tp,
+        data["image"][ex["img_idx"]].astype(np.float32) / 255.0, cp)
     tx = make_optimizer(cfg, total_steps=1000)
     state, _ = create_train_state(variables, tx)
-    step_fn = make_scan_train_step(apply_fn, cfg, tx)
-    dev_batch = jax.device_put(stacked)
+    step_fn = make_packed_gather_scan_train_step(apply_fn, cfg, tx)
+    dev_store = jax.device_put(data)
     for i in range(WARMUP):
-        state, m = step_fn(state, dev_batch, jax.random.key(i))
+        state, m = step_fn(state, dev_store, host_groups[i],
+                           jax.random.key(i))
         float(np.ravel(m["loss"])[-1])
-    dispatches = max(STEPS // scan_k, 3)
     t0 = time.perf_counter()
     for i in range(dispatches):
-        state, m = step_fn(state, dev_batch, jax.random.key(WARMUP + i))
+        state, m = step_fn(state, dev_store, host_groups[WARMUP + i],
+                           jax.random.key(WARMUP + i))
     float(np.ravel(m["loss"])[-1])
     dt = (time.perf_counter() - t0) / (dispatches * scan_k)
-    del state, dev_batch
+    del state, dev_store
     return batch_size / dt, dt
 
 
@@ -522,8 +541,9 @@ def main():
     detailed = {
         "metric": ("2C train-step throughput, production-default fast "
                    "recipe (AraBERT+RoBERTa+ResNet18, bs16, corpus-bucketed "
-                   "seq 128/64, sequence packing + factored-RMS embeddings "
-                   f"+ bf16 Adam mu, scan-fused dispatch x{scan_k})"),
+                   "seq 128/64, device-resident sequence packing + "
+                   "factored-RMS embeddings + bf16 Adam mu, scan-fused "
+                   f"dispatch x{scan_k})"),
         "value": round(headline, 2),
         "unit": "memes/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
@@ -576,7 +596,11 @@ def main():
                      "environment); token ids random — identical compute "
                      "to real data. HEADLINE = the production `train` "
                      "default (--recipe fast: packing + factored + bf16 mu "
-                     "+ scan); unpacked_reference_recipe_bs16 is the "
+                     "+ scan), measured on the true driver path: image "
+                     "store device-resident, each timed dispatch ships the "
+                     "real per-group host payload (packed token rows + "
+                     "img_idx, ~KB) and gathers pixel rows HBM->HBM "
+                     "in-step; unpacked_reference_recipe_bs16 is the "
                      "r1-r4 headline config for comparability. scan-fused "
                      "= cfg.scan_steps (K optimizer steps per device "
                      "dispatch). driver_path = device-resident dataset + "

@@ -344,6 +344,20 @@ def _init_and_steps(model, cfg: TrainConfig, train_data, kind: str,
                         if cfg.scan_steps > 1 else None),
             scan_eval=(make_gather_scan_eval_step(apply_fn, cfg)
                        if cfg.scan_steps > 1 else None))
+    elif cfg.data.device_resident and kind == "multimodal":
+        # Packed 2C stays device-resident: the train step gathers the pixel
+        # rows HBM→HBM by the plan's img_idx (host ships only the packed
+        # token rows, ~KB/step); eval is unpacked, so the plain gather eval
+        # steps apply (train.step.make_packed_gather_train_step).
+        from mpmc_tpu.train.step import (make_packed_gather_scan_train_step,
+                                         make_packed_gather_train_step)
+        gather = GatherSteps(
+            train=make_packed_gather_train_step(train_apply_fn, cfg, tx),
+            eval=make_gather_eval_step(apply_fn, cfg),
+            scan_train=(make_packed_gather_scan_train_step(
+                train_apply_fn, cfg, tx) if cfg.scan_steps > 1 else None),
+            scan_eval=(make_gather_scan_eval_step(apply_fn, cfg)
+                       if cfg.scan_steps > 1 else None))
     return (state, make_train_step(train_apply_fn, cfg, tx),
             make_eval_step(apply_fn, cfg), scan_step, scan_eval, gather)
 
@@ -453,14 +467,20 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
             "--pack-rows is not supported with --pipeline-stages/"
             "--seq-shards — training proceeds UNPACKED")
         packing = False
-    if cfg.data.pack_rows > 0 and not packing:
-        # ADVICE r3 #4: never silently ignore the flag.
+    elif cfg.data.pack_rows > 0 and not packing:
+        # ADVICE r3 #4: never silently ignore the flag.  (elif: the PP/SP
+        # guard above already explained its own downgrade.)
         log.warning(
             "--pack-rows is not supported for the %s driver (packing is "
             "wired for 2A text and 2C multimodal training) — training "
             "proceeds UNPACKED", kind)
+    # Packed 2A is host-fed (its per-step payload is already just the packed
+    # token rows); packed 2C keeps the image store device-resident and
+    # gathers pixel rows by img_idx in-step (train/packed.py).
+    resident_packed = (cfg.data.device_resident and packing
+                       and kind == "multimodal")
     dev_full_data = dev_test_data = None
-    if cfg.data.device_resident and not packing:
+    if cfg.data.device_resident and (not packing or resident_packed):
         import jax
         from mpmc_tpu.train.loop import DeviceData
         pd = place_data if place_data is not None else jax.device_put
@@ -522,11 +542,14 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
             from mpmc_tpu.models.classifier import PackedMultimodalClassifier
             from mpmc_tpu.train.packed import PackedMultimodalPlan
             packed_plan = PackedMultimodalPlan(
-                train_d, batch_size=cfg.data.batch_size)
+                train_d, batch_size=cfg.data.batch_size,
+                abs_idx=tr_idx if resident_packed else None,
+                resident_images=resident_packed)
             packed_model = PackedMultimodalClassifier(cfg.model)
             log.info("2C sequence packing: text/caption branches run packed "
-                     "rows per batch (image per-sample; batch composition "
-                     "identical to unpacked)")
+                     "rows per batch (image per-sample%s; batch composition "
+                     "identical to unpacked)",
+                     ", device-resident" if resident_packed else "")
         (state, train_step, eval_step, scan_step, scan_eval,
          gather) = _init_and_steps(
             model, cfg, train_d, kind, augment=augment, grayscale=grayscale,

@@ -153,7 +153,8 @@ def _resolve_recipe(args) -> None:
         # fold-/pipeline-/sequence-/tensor-parallel modes stay unpacked
         # rather than warn on a default (an explicit --pack-rows still
         # forces the flag through for those).
-        plain = (not args.fold_parallel and args.pipeline_stages <= 1
+        plain = (not args.fold_parallel and args.fold_shards <= 1
+                 and args.pipeline_stages <= 1
                  and args.seq_shards <= 1 and args.model_shards <= 1)
         if fast and plain and args.subtask == "2a":
             args.pack_rows = 4

@@ -50,21 +50,16 @@ class ImagePipeline:
 
     def batches(self, indices: np.ndarray, batch_size: int,
                 put: Callable[[np.ndarray], object] = lambda x: x,
-                prefetch: int = 2,
-                stats: Optional[dict] = None) -> Iterator[object]:
+                prefetch: int = 2) -> Iterator[object]:
         """Yield device-put uint8 batches with background prefetch.
 
         ``put`` is typically ``lambda x: jax.device_put(x, sharding)``; it runs
         on the prefetch thread so the H2D copy overlaps the previous step's
         compute (the reference pays this copy synchronously per step,
-        ``Multimodal_example_task2C.py:703-708``).
-
-        ``stats`` (optional dict, updated in place) records input-pipeline
-        stalls — same contract as ``train.loop.prefetch_batches``: ``gets``,
-        ``empty_gets`` (queue empty at consume time), ``wait_s``.
+        ``Multimodal_example_task2C.py:703-708``).  Stall instrumentation
+        lives in ``train.loop.prefetch_batches`` (the path the drivers and
+        bench actually run) — not duplicated here.
         """
-        import time as _time
-
         cache = self.preload()
         starts = range(0, len(indices), batch_size)
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
@@ -84,18 +79,7 @@ class ImagePipeline:
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         while True:
-            if stats is not None:
-                empty = q.empty()
-                t0 = _time.perf_counter()
-                item = q.get()
-                stats["wait_s"] = (stats.get("wait_s", 0.0)
-                                   + _time.perf_counter() - t0)
-                if item is not STOP:
-                    stats["gets"] = stats.get("gets", 0) + 1
-                    stats["empty_gets"] = (stats.get("empty_gets", 0)
-                                           + int(empty))
-            else:
-                item = q.get()
+            item = q.get()
             if item is STOP:
                 break
             yield item

@@ -121,15 +121,42 @@ def launch_processes(nproc: int, devices_per_proc: int, steps: int = 3,
          str(i), str(nproc), str(port), str(steps)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         for i in range(nproc)]
-    results = []
-    for i, p in enumerate(procs):
-        out, err = p.communicate(timeout=timeout)
-        if p.returncode != 0:
-            for q in procs:
+    # Drain every worker's pipes CONCURRENTLY: a sequential communicate()
+    # loop deadlocks the whole group if a later worker fills its 64 KB pipe
+    # (e.g. verbose XLA warnings) while an earlier one is still blocked in a
+    # collective waiting for it.  The finally block kills stragglers on any
+    # failure/timeout so no worker leaks holding the coordinator port.
+    import threading
+    import time as _time
+
+    outs: list = [None] * nproc
+
+    def drain(i: int, p) -> None:
+        outs[i] = p.communicate()
+
+    threads = [threading.Thread(target=drain, args=(i, p), daemon=True)
+               for i, p in enumerate(procs)]
+    try:
+        for t in threads:
+            t.start()
+        deadline = _time.monotonic() + timeout
+        for i, t in enumerate(threads):
+            t.join(max(deadline - _time.monotonic(), 0.0))
+            if t.is_alive():
+                raise RuntimeError(
+                    f"worker {i} timed out after {timeout:.0f}s")
+        results = []
+        for i, p in enumerate(procs):
+            out, err = outs[i]
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"worker {i} rc={p.returncode}:\n{err[-2000:]}")
+            results.append(json.loads(out.strip().splitlines()[-1]))
+        return results
+    finally:
+        for q in procs:
+            if q.poll() is None:
                 q.kill()
-            raise RuntimeError(f"worker {i} rc={p.returncode}:\n{err[-2000:]}")
-        results.append(json.loads(out.strip().splitlines()[-1]))
-    return results
 
 
 def main() -> None:

@@ -70,6 +70,15 @@ def learn_wordpiece_vocab(texts: Sequence[str], vocab_size: int = 8000,
                 pair_freq[p] = f
                 if sign > 0:
                     pair_words.setdefault(p, set()).add(w)
+                else:
+                    # Drop w from the inverted index even when p survives
+                    # globally: a merge may have removed p from THIS word,
+                    # and a stale entry would make a later merge of p rescan
+                    # w for nothing.  The following +1 pass over the word's
+                    # new seq re-adds w iff it still contains p.
+                    s = pair_words.get(p)
+                    if s is not None:
+                        s.discard(w)
             else:
                 pair_freq.pop(p, None)
                 pair_words.pop(p, None)

@@ -455,6 +455,9 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
         losses = []
+        # Snapshot so the end-of-epoch log reports THIS epoch's stall
+        # numbers, not a run-lifetime average that dilutes a regression.
+        pf_at_start = dict(pf_stats)
         if packed_plan is not None:
             step_it = packed_plan.epoch_iter(data_rng)
             key_field = "label"
@@ -503,7 +506,14 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
                     prof_done = True
                     log.info("profiler trace written to %s", cfg.profile_dir)
             dropout_key, sub = jax.random.split(dropout_key)
-            if use_gather:
+            if use_gather and packed_plan is not None:
+                # Packed device-resident (train.packed.PackedMultimodalPlan
+                # with resident_images): the batch carries packed token rows
+                # + img_idx; pixels are gathered HBM→HBM in-step.
+                fn = (gather_steps.scan_train if group_size > 1
+                      else gather_steps.train)
+                state, metrics = fn(state, dev_train.data, dev_batch, sub)
+            elif use_gather:
                 fn = (gather_steps.scan_train if group_size > 1
                       else gather_steps.train)
                 state, metrics = fn(state, dev_train.data, dev_batch["idx"],
@@ -580,15 +590,17 @@ def fit(state, train_step, eval_step, cfg: TrainConfig,
                                                    "threshold": best_thr})
         flush_metrics()
         stats = timer.stats(batch_size=bs)
-        gets = int(pf_stats.get("gets", 0))
+        gets = int(pf_stats.get("gets", 0) - pf_at_start.get("gets", 0))
+        wait_s = pf_stats.get("wait_s", 0.0) - pf_at_start.get("wait_s", 0.0)
+        empty = int(pf_stats.get("empty_gets", 0)
+                    - pf_at_start.get("empty_gets", 0))
         log.info("TRAIN | Epoch [%d] done in %.1fs | loss %.4f | "
                  "%.1f items/s (p50 %.0f ms/step) | input-wait %.2f ms/"
                  "dispatch (%d/%d empty gets)", epoch,
                  time.time() - t0, float(np.mean(losses)),
                  stats.get("items_per_sec", 0.0),
                  stats.get("step_ms_p50", 0.0),
-                 1e3 * pf_stats.get("wait_s", 0.0) / max(gets, 1),
-                 int(pf_stats.get("empty_gets", 0)), gets)
+                 1e3 * wait_s / max(gets, 1), empty, gets)
 
     return FitResult(state, best_f1, best_thr, best_probs, history,
                      input_pipeline=dict(pf_stats))

@@ -28,7 +28,7 @@ reproduction of the per-sample recipe.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterator, Tuple
+from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
 
@@ -131,10 +131,22 @@ class PackedMultimodalPlan:
     epoch's batches (rounded up to even), kept monotone across epochs — a
     later epoch needing one more row recompiles once; within an epoch every
     batch is padded to the same budget so scan-fused stacking applies.
+
+    With ``resident_images`` the pixel slice never leaves the host: batches
+    carry an ``img_idx`` [B] int32 instead of ``image``, and the train step
+    gathers the rows HBM→HBM from the device-resident dataset
+    (train.step.make_packed_gather_train_step) — the per-dispatch host
+    payload drops from ~MB of uint8 pixels to the packed token rows (~KB),
+    same as DataConfig.device_resident unpacked training.  ``abs_idx`` maps
+    the plan's LOCAL sample positions to rows of that resident store (the
+    fold driver uploads the full manifest once; each fold's train split
+    indexes into it).
     """
 
     data: Dict[str, np.ndarray]
     batch_size: int
+    abs_idx: Optional[np.ndarray] = None
+    resident_images: bool = False
 
     def __post_init__(self):
         n = len(self.data["label"])
@@ -185,10 +197,15 @@ class PackedMultimodalPlan:
             bc = max(self._ffd_rows(d["caption_mask"][t], self.caption_len)
                      for t, _ in takes)
             self._budget_c = max(self._budget_c, bc + (bc % 2))
+        skip = {"text_ids", "text_mask", "caption_ids", "caption_mask"}
+        if self.resident_images:
+            skip.add("image")
         for take, k in takes:
-            batch = {kk: d[kk][take] for kk in d
-                     if kk not in ("text_ids", "text_mask",
-                                   "caption_ids", "caption_mask")}
+            batch = {kk: d[kk][take] for kk in d if kk not in skip}
+            if self.resident_images:
+                src = (self.abs_idx[take] if self.abs_idx is not None
+                       else take)
+                batch["img_idx"] = np.asarray(src, np.int32)
             tp = pack_sequences(d["text_ids"][take], d["text_mask"][take],
                                 self.text_len)
             ids, segs, poss = self._pad_rows(tp, self._budget_t)

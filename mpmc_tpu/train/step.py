@@ -351,6 +351,55 @@ def make_gather_scan_train_step(apply_fn: ApplyFn, cfg: TrainConfig,
     return jax.jit(scan_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_packed_gather_train_step(apply_fn: ApplyFn, cfg: TrainConfig,
+                                  tx: optax.GradientTransformation,
+                                  class_weights: Optional[jnp.ndarray] = None,
+                                  donate: bool = True):
+    """Packed-multimodal train step over a device-resident image store:
+    ``(state, data, batch, rng)`` where ``batch`` carries the host-packed
+    text/caption rows plus ``img_idx`` [B] int32, and the pixel rows are
+    gathered HBM→HBM from ``data["image"]`` (train.packed.
+    PackedMultimodalPlan with ``resident_images``) — packing keeps the
+    device-resident property of DataConfig.device_resident instead of
+    silently falling back to streaming uint8 pixels from the host."""
+    step_fn = build_train_step_fn(apply_fn, cfg, tx, class_weights)
+
+    def fn(state: TrainState, data: Dict, batch: Dict, rng: jax.Array):
+        b = dict(batch)
+        b["image"] = data["image"][b.pop("img_idx")]
+        return step_fn(state, b, rng)
+
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def make_packed_gather_scan_train_step(
+        apply_fn: ApplyFn, cfg: TrainConfig,
+        tx: optax.GradientTransformation,
+        class_weights: Optional[jnp.ndarray] = None,
+        scan_steps: Optional[int] = None, donate: bool = True):
+    """Scan-fused K packed steps over a device-resident image store: per
+    dispatch the host ships only the stacked packed token rows + ``img_idx``
+    [K, B] (~KB) — see make_packed_gather_train_step."""
+    k = int(scan_steps if scan_steps is not None else cfg.scan_steps)
+    if k < 2:
+        raise ValueError(f"scan_steps must be >= 2, got {k}")
+    step_fn = build_train_step_fn(apply_fn, cfg, tx, class_weights)
+
+    def scan_fn(state: TrainState, data: Dict, batches: Dict,
+                dropout_rng: jax.Array):
+        keys = jax.random.split(dropout_rng, k)
+
+        def body(st, xs):
+            b, kk = xs
+            bb = dict(b)
+            bb["image"] = data["image"][bb.pop("img_idx")]
+            return step_fn(st, bb, kk)
+
+        return jax.lax.scan(body, state, (batches, keys))
+
+    return jax.jit(scan_fn, donate_argnums=(0,) if donate else ())
+
+
 def make_gather_eval_step(apply_fn: ApplyFn, cfg: TrainConfig):
     """Eval step over a device-resident dataset (see make_gather_train_step)."""
     fn = _build_eval_fn(apply_fn, cfg)

@@ -387,3 +387,131 @@ def test_packed_plan_threads_soft_targets(rng):
     np.testing.assert_allclose(
         batch["soft"][:k],
         np.where(batch["label"][:k] == 1, 0.9, 0.1), atol=2e-3)
+
+
+def _mm_data(rng, mcfg, n):
+    ids, mask = _ragged_batch(rng, B=n, S=mcfg.max_text_len, min_len=3,
+                              max_len=mcfg.max_text_len - 2)
+    cap_ids, cap_mask = _ragged_batch(rng, B=n, S=mcfg.max_caption_len,
+                                      vocab=mcfg.caption.vocab_size,
+                                      min_len=2,
+                                      max_len=mcfg.max_caption_len - 2)
+    img = rng.integers(0, 255, (n, mcfg.image.image_size,
+                                mcfg.image.image_size, 3)).astype(np.uint8)
+    labels = rng.integers(0, 2, n).astype(np.int32)
+    return {"text_ids": ids, "text_mask": mask, "caption_ids": cap_ids,
+            "caption_mask": cap_mask, "image": img, "label": labels}
+
+
+def test_packed_resident_plan_and_steps_match_hostfed(rng):
+    """The device-resident packed 2C path (PackedMultimodalPlan with
+    resident_images + make_packed_gather_train_step) trains EXACTLY like
+    the host-fed packed path: identical batches (img_idx resolves to the
+    same pixel rows via abs_idx) and identical params after each step —
+    the fast recipe keeps DataConfig.device_resident without approximation."""
+    from mpmc_tpu.config import DataConfig, TrainConfig
+    from mpmc_tpu.train.packed import (PackedMultimodalPlan,
+                                       make_packed_multimodal_apply_fn)
+    from mpmc_tpu.train.step import (build_train_step_fn, create_train_state,
+                                     make_optimizer,
+                                     make_packed_gather_scan_train_step,
+                                     make_packed_gather_train_step,
+                                     make_scan_train_step)
+
+    mcfg = ModelConfig.tiny_2c()
+    B, n_full = 4, 19
+    full = _mm_data(rng, mcfg, n_full)
+    tr_idx = np.sort(rng.permutation(n_full)[:13])  # a fold's train split
+    local = {k: v[tr_idx] for k, v in full.items()}
+
+    host_plan = PackedMultimodalPlan(local, batch_size=B)
+    res_plan = PackedMultimodalPlan(local, batch_size=B, abs_idx=tr_idx,
+                                    resident_images=True)
+    host_batches = [b for b, _ in host_plan.epoch_iter(
+        np.random.default_rng(7))]
+    res_batches = [b for b, _ in res_plan.epoch_iter(
+        np.random.default_rng(7))]
+    assert len(host_batches) == len(res_batches)
+    for hb, rb in zip(host_batches, res_batches):
+        assert "image" not in rb and "img_idx" in rb
+        np.testing.assert_array_equal(full["image"][rb["img_idx"]],
+                                      hb["image"])
+        for k in hb:
+            if k != "image":
+                np.testing.assert_array_equal(rb[k], hb[k])
+
+    cfg = TrainConfig(model=mcfg, data=DataConfig(batch_size=B), bf16=False,
+                      learning_rate=1e-3)
+    tx = make_optimizer(cfg, total_steps=10)
+    packed_model = PackedMultimodalClassifier(mcfg)
+    apply_fn = make_packed_multimodal_apply_fn(packed_model,
+                                               augment_images=True)
+    ex = host_batches[0]
+    tp = {k[2:]: ex[k] for k in ("t_ids", "t_segments", "t_positions",
+                                 "t_row_of", "t_slot_of", "t_start_of")}
+    cp = {k[2:]: ex[k] for k in ("c_ids", "c_segments", "c_positions",
+                                 "c_row_of", "c_slot_of", "c_start_of")}
+    variables = packed_model.init(jax.random.key(0), tp,
+                                  ex["image"].astype(np.float32) / 255.0, cp)
+    state0, _ = create_train_state(variables, tx)
+    dev_store = jax.device_put(full)
+
+    # per-step parity
+    step_fn = build_train_step_fn(apply_fn, cfg, tx)
+    g_step = make_packed_gather_train_step(apply_fn, cfg, tx, donate=False)
+    key = jax.random.key(3)
+    s_ref, m_ref = step_fn(state0, host_batches[0], key)
+    s_got, m_got = g_step(state0, dev_store, res_batches[0], key)
+    np.testing.assert_allclose(float(m_got["loss"]), float(m_ref["loss"]),
+                               rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), rtol=1e-6),
+        s_got.params, s_ref.params)
+
+    # scan-fused parity: stacked groups, same dropout-key split
+    K = 2
+    cfg_k = TrainConfig(model=mcfg, data=DataConfig(batch_size=B),
+                        bf16=False, learning_rate=1e-3, scan_steps=K)
+    host_stack = {k: np.stack([b[k] for b in host_batches[:K]])
+                  for k in host_batches[0]}
+    res_stack = {k: np.stack([b[k] for b in res_batches[:K]])
+                 for k in res_batches[0]}
+    scan_ref = make_scan_train_step(apply_fn, cfg_k, tx, donate=False)
+    scan_got = make_packed_gather_scan_train_step(apply_fn, cfg_k, tx,
+                                                  donate=False)
+    s_ref, m_ref = scan_ref(state0, host_stack, key)
+    s_got, m_got = scan_got(state0, dev_store, res_stack, key)
+    np.testing.assert_allclose(np.asarray(m_got["loss"]),
+                               np.asarray(m_ref["loss"]), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), rtol=1e-6),
+        s_got.params, s_ref.params)
+
+
+def test_cli_2c_packed_resident_driver(tmp_path, rng):
+    """End-to-end 2C packed training through _run_folds with the DEFAULT
+    device_resident=True: the plan emits img_idx, fit dispatches the
+    packed-gather steps, eval rides the resident gather path, and the
+    standard fold TSVs come out."""
+    import os
+
+    from mpmc_tpu.cli.experiments import _run_folds
+    from mpmc_tpu.config import DataConfig, ModelConfig, TrainConfig
+    from mpmc_tpu.models import MultimodalClassifier as MM
+
+    mcfg = ModelConfig.tiny_2c()
+    n = 20
+    data = _mm_data(rng, mcfg, n)
+    cfg = TrainConfig(model=mcfg,
+                      data=DataConfig(batch_size=4, num_folds=2,
+                                      pack_rows=2),
+                      epochs=1, scan_steps=2, eval_per_epoch=1)
+    assert cfg.data.device_resident  # the production default under test
+    res = _run_folds(cfg, lambda: MM(mcfg), "multimodal", data,
+                     [f"d/x_{i}.jpg" for i in range(n)], None, None,
+                     str(tmp_path), "task2C", folds=[0], augment=True)
+    assert np.isfinite(res.fold_results[0].best_macro_f1)
+    tsvs = [f for f in os.listdir(tmp_path) if "probs_fold_0" in f]
+    assert tsvs
