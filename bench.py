@@ -488,6 +488,19 @@ def main():
     tuned16 = extra(_measure, mcfg, 16, bucket_text, bucket_cap,
                     scan_k=scan_k, embedding_optimizer="factored",
                     adam_mu_dtype="bfloat16")
+    packed16 = extra(_measure_packed, mcfg, 16, bucket_text, bucket_cap,
+                     scan_k)
+    # Serving side (cli predict --scan-steps): fwd-only bf16 inference
+    # throughput at deployment batch sizes + scan-amortized device latency
+    # for a single-meme request.  (Before the sparse probe — the least
+    # informative extra, a documented negative result — so the serving
+    # numbers survive the time budget.)
+    infer64 = extra(_measure_infer, mcfg, 64, bucket_text, bucket_cap,
+                    scan_k=scan_k)
+    infer16 = extra(_measure_infer, mcfg, 16, bucket_text, bucket_cap,
+                    scan_k=scan_k)
+    infer1 = extra_full(_measure_infer, mcfg, 1, bucket_text, bucket_cap,
+                        scan_k=max(scan_k, 16))
     # Sparse (lazy) row-Adam on the embedding tables (train/sparse_opt.py):
     # exact Adam on only the ≤bs×seq touched vocab rows per step, frozen
     # elsewhere — removes the full-table optimizer pass entirely (opt-in
@@ -495,17 +508,6 @@ def main():
     sparse16 = extra(_measure, mcfg, 16, bucket_text, bucket_cap,
                      scan_k=scan_k, embedding_optimizer="sparse",
                      adam_mu_dtype="bfloat16")
-    packed16 = extra(_measure_packed, mcfg, 16, bucket_text, bucket_cap,
-                     scan_k)
-    # Serving side (cli predict --scan-steps): fwd-only bf16 inference
-    # throughput at deployment batch sizes + scan-amortized device latency
-    # for a single-meme request.
-    infer64 = extra(_measure_infer, mcfg, 64, bucket_text, bucket_cap,
-                    scan_k=scan_k)
-    infer16 = extra(_measure_infer, mcfg, 16, bucket_text, bucket_cap,
-                    scan_k=scan_k)
-    infer1 = extra_full(_measure_infer, mcfg, 1, bucket_text, bucket_cap,
-                        scan_k=max(scan_k, 16))
 
     # Matmul-MFU diagnostic on the UNPACKED program (the packed headline
     # does fewer padded-row FLOPs per meme, so the bucketed-FLOP estimate

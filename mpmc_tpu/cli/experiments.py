@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import math
 import os
 from typing import Callable, Dict, List, Optional, Tuple
 
@@ -400,6 +401,7 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
     # `put` so the sharded H2D copy overlaps the previous step's compute.
     put, put_stacked, place_state = (lambda b: b), None, (lambda s: s)
     place_data = None
+    dp_extent = 1
     if cfg.mesh.num_fold_shards <= 1 and (cfg.mesh.num_data_shards > 1
                                           or cfg.mesh.num_model_shards > 1
                                           or cfg.mesh.num_stage_shards > 1
@@ -474,6 +476,11 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
             "--pack-rows is not supported for the %s driver (packing is "
             "wired for 2A text and 2C multimodal training) — training "
             "proceeds UNPACKED", kind)
+    if packing and kind == "text" and cfg.data.pack_rows % dp_extent:
+        # The [G, P] packed-row batch axis shards over `data`.
+        raise ValueError(
+            f"--pack-rows={cfg.data.pack_rows} not divisible by the "
+            f"data-axis extent {dp_extent}")
     # Packed 2A is host-fed (its per-step payload is already just the packed
     # token rows); packed 2C keeps the image store device-resident and
     # gathers pixel rows by img_idx in-step (train/packed.py).
@@ -544,7 +551,8 @@ def _run_folds(cfg: TrainConfig, model_factory, kind: str,
             packed_plan = PackedMultimodalPlan(
                 train_d, batch_size=cfg.data.batch_size,
                 abs_idx=tr_idx if resident_packed else None,
-                resident_images=resident_packed)
+                resident_images=resident_packed,
+                row_multiple=math.lcm(2, dp_extent))
             packed_model = PackedMultimodalClassifier(cfg.model)
             log.info("2C sequence packing: text/caption branches run packed "
                      "rows per batch (image per-sample%s; batch composition "

@@ -147,6 +147,11 @@ class PackedMultimodalPlan:
     batch_size: int
     abs_idx: Optional[np.ndarray] = None
     resident_images: bool = False
+    # Packed-row budgets are rounded up to this multiple.  Under data
+    # parallelism the driver sets it to lcm(2, data-axis extent) so the
+    # stacked [K, R, L] row axis shards evenly (parallel.mesh
+    # stacked_batch_sharding shards axis 1).
+    row_multiple: int = 2
 
     def __post_init__(self):
         n = len(self.data["label"])
@@ -155,8 +160,9 @@ class PackedMultimodalPlan:
         self.text_len = int(self.data["text_ids"].shape[1])
         self.caption_len = (int(self.data["caption_ids"].shape[1])
                             if self.has_caption else 0)
-        self._budget_t = 2
-        self._budget_c = 2
+        self._mult = max(int(self.row_multiple), 1)
+        self._budget_t = self._mult
+        self._budget_c = self._mult
 
     @staticmethod
     def _ffd_rows(mask_rows, pack_len) -> int:
@@ -190,13 +196,14 @@ class PackedMultimodalPlan:
             if len(take) < bs:
                 take = np.concatenate([take, np.resize(idx, bs - len(take))])
             takes.append((take, min(bs, n - start)))
+        m = self._mult
         bt = max(self._ffd_rows(d["text_mask"][t], self.text_len)
                  for t, _ in takes)
-        self._budget_t = max(self._budget_t, bt + (bt % 2))
+        self._budget_t = max(self._budget_t, -(-bt // m) * m)
         if self.has_caption:
             bc = max(self._ffd_rows(d["caption_mask"][t], self.caption_len)
                      for t, _ in takes)
-            self._budget_c = max(self._budget_c, bc + (bc % 2))
+            self._budget_c = max(self._budget_c, -(-bc // m) * m)
         skip = {"text_ids", "text_mask", "caption_ids", "caption_mask"}
         if self.resident_images:
             skip.add("image")

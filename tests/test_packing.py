@@ -515,3 +515,32 @@ def test_cli_2c_packed_resident_driver(tmp_path, rng):
     assert np.isfinite(res.fold_results[0].best_macro_f1)
     tsvs = [f for f in os.listdir(tmp_path) if "probs_fold_0" in f]
     assert tsvs
+
+
+@pytest.mark.slow
+def test_packed_resident_dp_shard_invariant(tmp_path, rng):
+    """Packed device-resident 2C training composes with data parallelism at
+    any shard count: the plan's row budgets align to the data-axis extent
+    (PackedMultimodalPlan.row_multiple), and 1/2/4-way DP runs of the same
+    fold produce the same best F1."""
+    from mpmc_tpu.cli.experiments import _run_folds
+    from mpmc_tpu.config import DataConfig, MeshConfig, TrainConfig
+    from mpmc_tpu.models import MultimodalClassifier as MM
+
+    mcfg = ModelConfig.tiny_2c()
+    n = 24
+    data = _mm_data(rng, mcfg, n)
+    f1s = []
+    for shards in (1, 2, 4):
+        cfg = TrainConfig(
+            model=mcfg,
+            data=DataConfig(batch_size=8, num_folds=2, pack_rows=2),
+            mesh=MeshConfig(num_data_shards=shards),
+            epochs=1, scan_steps=2, eval_per_epoch=1)
+        res = _run_folds(cfg, lambda: MM(mcfg), "multimodal", data,
+                         [f"d/x_{i}.jpg" for i in range(n)], None, None,
+                         str(tmp_path / f"dp{shards}"), "task2C",
+                         folds=[0], augment=True)
+        f1s.append(res.fold_results[0].best_macro_f1)
+    assert f1s[1] == pytest.approx(f1s[0], rel=1e-4)
+    assert f1s[2] == pytest.approx(f1s[0], rel=1e-4)
